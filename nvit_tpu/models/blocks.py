@@ -1,0 +1,188 @@
+"""Transformer blocks: self-attention Block and CrossAttentionBlock.
+
+Pure functions over explicit parameter pytrees.  ≙ reference
+nvit/model.py:47-169 (Block) and model.py:187-275 (CrossAttentionBlock).
+
+Each block runs in one of two modes (static config switch):
+* **baseline** — pre-RMSNorm, additive residual, softmax scale 1/sqrt(d_head).
+* **nViT** — no pre-norm; per-head L2-normalized Q/K scaled by learnable
+  ``sqk``; softmax scale sqrt(d_head); ``suv``-scaled gated MLP; residuals are
+  spherical LERPs with learnable per-channel eigen learning rates.
+
+Reference-bug fix (SURVEY.md §2 #4): the reference constructs the Block
+RMSNorms only when ``use_nvit=True`` (model.py:63-65) yet calls them only when
+``use_nvit=False`` (model.py:95-96, 145-146), so pure-baseline mode crashes.
+Canonical semantics here: RMSNorms exist and are applied exactly in baseline
+mode.  CrossAttentionBlock had this right in the reference; we match it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from nvit_tpu.configs.schema import ViTConfig
+from nvit_tpu.core.layers import c_proj_std, init_linear, linear
+from nvit_tpu.core.norms import justnorm, rms_norm
+from nvit_tpu.core.residual import slerp_residual
+from nvit_tpu.ops.attention import attention
+
+Params = dict[str, Any]
+
+# Fixed (init_value, init_scaling) constants for the learned scale vectors
+# (≙ reference model.py:67-82; scaling for alpha/sqk is config.base_scale).
+ATTN_ALPHA_INIT_VALUE = 0.05
+MLP_ALPHA_INIT_VALUE = 0.05
+SQK_INIT_VALUE = 1.0
+SUV_INIT_VALUE = 1.0
+SUV_INIT_SCALING = 1.0
+
+
+def init_block(key: Array, cfg: ViTConfig) -> Params:
+    d = cfg.n_embd
+    keys = jax.random.split(key, 8)
+    p: Params = {
+        "query": init_linear(keys[0], d, d, bias=cfg.bias),
+        "key": init_linear(keys[1], d, d, bias=cfg.bias),
+        "value": init_linear(keys[2], d, d, bias=cfg.bias),
+        "att_c_proj": init_linear(keys[3], d, d, bias=cfg.bias, std=c_proj_std(cfg.n_layer)),
+        "c_fc": init_linear(keys[4], d, 2 * 4 * d, bias=cfg.bias),
+        "mlp_c_proj": init_linear(keys[5], 4 * d, d, bias=cfg.bias, std=c_proj_std(cfg.n_layer)),
+        "skip_param": jnp.ones((1,), dtype=jnp.float32),
+    }
+    if cfg.use_nvit:
+        p["attn_alpha"] = cfg.base_scale * jnp.ones((d,), dtype=jnp.float32)
+        p["mlp_alpha"] = cfg.base_scale * jnp.ones((d,), dtype=jnp.float32)
+        p["sqk"] = cfg.base_scale * jnp.ones((d,), dtype=jnp.float32)
+        p["suv"] = SUV_INIT_SCALING * jnp.ones((2 * 4 * d,), dtype=jnp.float32)
+    else:
+        p["rmsnorm_att"] = jnp.ones((d,), dtype=jnp.float32)
+        p["rmsnorm_mlp"] = jnp.ones((d,), dtype=jnp.float32)
+    return p
+
+
+def _split_heads(x: Array, n_head: int) -> Array:
+    """[B, T, C] → [B, H, T, D]."""
+    b, t, c = x.shape
+    return x.reshape(b, t, n_head, c // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: Array) -> Array:
+    """[B, H, T, D] → [B, T, C]."""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def _sqk_scale_qk(q: Array, k: Array, sqk: Array, cfg: ViTConfig, out_dtype: Any) -> tuple[Array, Array]:
+    """Per-head L2-norm of Q/K scaled by the effective sqk vector.
+
+    ≙ reference model.py:108-112: ``sqk_eff = sqk · (init_value/init_scaling)``
+    reshaped per-head; multiply happens in fp32 (sqk is fp32) then casts back
+    to the attention compute dtype (reference's ``q.to(v.dtype)``).
+    """
+    sqk_eff = sqk * (SQK_INIT_VALUE / cfg.base_scale)
+    sqk_eff = sqk_eff.reshape(1, cfg.n_head, 1, cfg.head_dim)
+    q = (sqk_eff * justnorm(q).astype(jnp.float32)).astype(out_dtype)
+    k = (sqk_eff * justnorm(k).astype(jnp.float32)).astype(out_dtype)
+    return q, k
+
+
+def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = None) -> Array:
+    """Self-attention transformer block (≙ reference model.py:92-169).
+
+    Returns the block output WITHOUT the outer ``norm_skip`` — the ViT forward
+    applies that around the block (model.py:450-452), matching the reference's
+    double-residual structure.
+    """
+    dt = compute_dtype
+    h_in = h
+
+    x = h if cfg.use_nvit else rms_norm(h, p["rmsnorm_att"])
+    q = _split_heads(linear(p["query"], x, compute_dtype=dt), cfg.n_head)
+    k = _split_heads(linear(p["key"], x, compute_dtype=dt), cfg.n_head)
+    v = _split_heads(linear(p["value"], x, compute_dtype=dt), cfg.n_head)
+
+    if cfg.use_nvit:
+        q, k = _sqk_scale_qk(q, k, p["sqk"], cfg, v.dtype)
+
+    sqrt_hd = math.sqrt(cfg.head_dim)
+    scale = sqrt_hd if cfg.use_nvit else 1.0 / sqrt_hd
+    att = attention(q, k, v, scale, use_flash=cfg.flash_attn)
+    h_att = linear(p["att_c_proj"], _merge_heads(att), compute_dtype=dt)
+
+    if cfg.use_nvit:
+        h = slerp_residual(h_in, h_att, p["attn_alpha"], ATTN_ALPHA_INIT_VALUE, cfg.base_scale)
+    else:
+        h = x + h_att
+
+    x = h if cfg.use_nvit else rms_norm(h, p["rmsnorm_mlp"])
+    uv = linear(p["c_fc"], x, compute_dtype=dt)
+    if cfg.use_nvit:
+        suv_eff = p["suv"] * ((SUV_INIT_VALUE / SUV_INIT_SCALING) * math.sqrt(cfg.n_embd))
+        uv = (suv_eff * uv.astype(jnp.float32)).astype(uv.dtype)
+    u, v_gate = jnp.split(uv, 2, axis=-1)
+    x_mlp = u * jax.nn.silu(v_gate)
+    h_mlp = linear(p["mlp_c_proj"], x_mlp, compute_dtype=dt)
+
+    if cfg.use_nvit:
+        h = slerp_residual(h, h_mlp, p["mlp_alpha"], MLP_ALPHA_INIT_VALUE, cfg.base_scale)
+    else:
+        h = x + h_mlp
+    return h
+
+
+def init_cross_attention(key: Array, cfg: ViTConfig) -> Params:
+    d = cfg.n_embd
+    keys = jax.random.split(key, 5)
+    p: Params = {
+        "q_local": init_linear(keys[0], d, d, bias=cfg.bias),
+        "k_global": init_linear(keys[1], d, d, bias=cfg.bias),
+        "v_global": init_linear(keys[2], d, d, bias=cfg.bias),
+        "proj": init_linear(keys[3], d, 2 * d, bias=cfg.bias),
+        "out_proj": init_linear(keys[4], d, d, bias=cfg.bias),
+    }
+    if cfg.use_nvit:
+        p["attn_alpha"] = cfg.base_scale * jnp.ones((d,), dtype=jnp.float32)
+        p["sqk"] = cfg.base_scale * jnp.ones((d,), dtype=jnp.float32)
+    else:
+        p["local_norm"] = jnp.ones((d,), dtype=jnp.float32)
+        p["global_norm"] = jnp.ones((d,), dtype=jnp.float32)
+    return p
+
+
+def cross_attention_apply(
+    p: Params, cfg: ViTConfig, local: Array, global_: Array, *, compute_dtype: Any = None
+) -> Array:
+    """Cross attention: Q from the local stream, K/V from the global stream,
+    gated output projection (≙ reference model.py:219-275).  In nViT mode the
+    residual LERPs toward ``local`` (model.py:265-273)."""
+    dt = compute_dtype
+    local_in = local
+
+    if not cfg.use_nvit:
+        local = rms_norm(local, p["local_norm"])
+        global_ = rms_norm(global_, p["global_norm"])
+
+    q = _split_heads(linear(p["q_local"], local, compute_dtype=dt), cfg.n_head)
+    k = _split_heads(linear(p["k_global"], global_, compute_dtype=dt), cfg.n_head)
+    v = _split_heads(linear(p["v_global"], global_, compute_dtype=dt), cfg.n_head)
+
+    if cfg.use_nvit:
+        q, k = _sqk_scale_qk(q, k, p["sqk"], cfg, v.dtype)
+
+    sqrt_hd = math.sqrt(cfg.head_dim)
+    scale = sqrt_hd if cfg.use_nvit else 1.0 / sqrt_hd
+    att = attention(q, k, v, scale, use_flash=cfg.flash_attn)
+
+    out = linear(p["proj"], _merge_heads(att), compute_dtype=dt)
+    u, v_gate = jnp.split(out, 2, axis=-1)
+    out = u * jax.nn.silu(v_gate)
+    out = linear(p["out_proj"], out, compute_dtype=dt)
+
+    if cfg.use_nvit:
+        out = slerp_residual(local_in, out, p["attn_alpha"], ATTN_ALPHA_INIT_VALUE, cfg.base_scale)
+    return out

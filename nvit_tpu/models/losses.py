@@ -1,0 +1,106 @@
+"""Auxiliary losses: consistency, smoothness, quantization, reconstruction,
+plus cross-entropy and accuracy helpers.
+
+≙ reference nvit/model.py:482-561 (aux losses), nvit/train.py:906-926 (loss
+weighting) and train.py:562-575 (top-k accuracy).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def cross_entropy(logits: Array, labels: Array) -> Array:
+    """Mean softmax cross-entropy with integer labels (≙ F.cross_entropy).
+
+    Computed in fp32 regardless of logit dtype.
+    """
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - picked)
+
+
+def huber_loss(pred: Array, target: Array, delta: float = 1.0) -> Array:
+    """Mean Huber loss (≙ F.huber_loss defaults: delta=1, mean reduction)."""
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    abs_diff = jnp.abs(diff)
+    quad = 0.5 * diff * diff
+    lin = delta * (abs_diff - 0.5 * delta)
+    return jnp.mean(jnp.where(abs_diff <= delta, quad, lin))
+
+
+def mse_loss(pred: Array, target: Array) -> Array:
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return jnp.mean(diff * diff)
+
+
+def consistency_loss(local_repr: Array, global_repr: Array) -> Array:
+    """1 − mean cosine similarity (≙ reference model.py:482-490)."""
+    ln = local_repr.astype(jnp.float32)
+    gn = global_repr.astype(jnp.float32)
+    ln = ln / jnp.linalg.norm(ln, axis=-1, keepdims=True)
+    gn = gn / jnp.linalg.norm(gn, axis=-1, keepdims=True)
+    return 1.0 - jnp.mean(jnp.sum(ln * gn, axis=-1))
+
+
+def neighbor_indices(indices: Array, grid_m: int, grid_n: int) -> Array:
+    """8-neighborhood on the SOM grid with periodic modulo wrap.
+
+    ≙ reference model.py:504-537, with a bug fix: the reference assumes a
+    square ``sqrt(nodes_per_map)`` grid and *raises* for non-square node
+    counts (model.py:509-513) — which its own default config (kohonen_nodes=64
+    → 32/map) triggers, crashing the nvit1_k1 profile.  Canonical semantics
+    here: neighbors live on the SOM's true m×n grid (linear index = row·n +
+    col, matching kohonen.py:61-62's location layout), wrapping modulo (m, n).
+    For perfect-square counts this is identical to the reference.
+
+    indices [...,] → neighbors [..., 8].
+    """
+    row = indices // grid_n
+    col = indices % grid_n
+    offsets = np.array(
+        [[-1, -1], [-1, 0], [-1, 1], [0, -1], [0, 1], [1, -1], [1, 0], [1, 1]], dtype=np.int32
+    )
+    nrow = (row[..., None] + offsets[:, 0]) % grid_m
+    ncol = (col[..., None] + offsets[:, 1]) % grid_n
+    return nrow * grid_n + ncol
+
+
+def map_smoothness(nodes: Array, indices: Array, grid_m: int, grid_n: int) -> Array:
+    """Mean L2 distance from each BMU's embedding to its 8 neighbors' embeddings
+    (≙ reference model.py:539-561)."""
+    neigh = neighbor_indices(indices, grid_m, grid_n)
+    cur = jnp.take(nodes, indices, axis=0).astype(jnp.float32)  # [..., d]
+    nb = jnp.take(nodes, neigh, axis=0).astype(jnp.float32)  # [..., 8, d]
+    dist = jnp.linalg.norm(cur[..., None, :] - nb, axis=-1)
+    return jnp.mean(dist)
+
+
+def smoothness_loss(
+    local_nodes: Array,
+    local_indices: Array,
+    global_nodes: Array,
+    global_indices: Array,
+    grid_m: int,
+    grid_n: int,
+) -> Array:
+    """Sum of the per-map smoothness terms (≙ reference model.py:492-502)."""
+    return map_smoothness(local_nodes, local_indices, grid_m, grid_n) + map_smoothness(
+        global_nodes, global_indices, grid_m, grid_n
+    )
+
+
+def topk_accuracy(logits: Array, labels: Array, k: int = 5) -> tuple[Array, Array]:
+    """(top1%, topk%) — ≙ reference train.py:562-575; k clamps to num_classes."""
+    maxk = min(k, logits.shape[-1])
+    _, pred = jax.lax.top_k(logits.astype(jnp.float32), maxk)  # [..., maxk]
+    correct = pred == labels[..., None]
+    top1 = jnp.mean(correct[..., 0].astype(jnp.float32)) * 100.0
+    topk = jnp.mean(jnp.any(correct, axis=-1).astype(jnp.float32)) * 100.0
+    return top1, topk

@@ -1,0 +1,57 @@
+"""Attention dispatch: XLA reference path + Pallas fused path.
+
+The reference dispatches between flash-attn and torch SDPA
+(/root/reference/nvit/model.py:121-124, 252-255) with a custom softmax scale
+(1/sqrt(d) baseline, sqrt(d) in nViT mode) and non-causal attention.  The
+reference's flash path passes [B,H,T,D] tensors where flash-attn expects
+[B,T,H,D] — per SURVEY.md §2 #5 we treat the SDPA semantics as canonical.
+
+Here ``config.flash_attn=True`` selects the Pallas fused kernel
+(nvit_tpu/ops/flash_attention.py) when running on TPU; otherwise (CPU tests,
+interpret mode) the plain XLA einsum path is used.  Both produce identical
+math: fp32 softmax, custom scale, non-causal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def sdpa_xla(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Plain XLA scaled-dot-product attention.
+
+    q: [B, H, Tq, D]; k, v: [B, H, Tk, D].  Softmax in fp32 (flash-attn and
+    torch SDPA both accumulate softmax in fp32), output in v.dtype.
+    XLA fuses the scale/softmax chain; the matmuls hit the MXU.
+    """
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing should not fail
+        return False
+
+
+def attention(q: Array, k: Array, v: Array, scale: float, *, use_flash: bool = False) -> Array:
+    """Non-causal multi-head attention with a custom softmax scale.
+
+    ``use_flash`` (≙ reference config.flash_attn) selects the Pallas fused
+    kernel on TPU; falls back to the XLA path elsewhere so the same config
+    runs in CPU tests.
+    """
+    if use_flash and _on_tpu():
+        from nvit_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale)
+    return sdpa_xla(q, k, v, scale)

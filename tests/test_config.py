@@ -1,0 +1,86 @@
+"""Config system tests: YAML load, env overlay, profile contract."""
+
+import dataclasses
+
+import pytest
+
+from nvit_tpu.configs import Config, ViTConfig, load_config, merge_dataclass, read_dotenv
+
+
+def test_defaults_roundtrip():
+    cfg = Config()
+    assert cfg.training.batch_size == 512
+    assert cfg.optimizer.beta2 == 0.95
+    assert cfg.model.image_size == 224  # dataclass default (yaml overrides to 32)
+
+
+def test_packaged_yaml_matches_reference_defaults(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # no local settings.yaml → packaged defaults
+    cfg = load_config()
+    assert cfg.model.image_size == 32
+    assert cfg.model.n_embd == 64
+    assert cfg.model.use_nvit is True
+    assert cfg.model.use_kohonen is True
+    assert cfg.model.kohonen_scheduler_enabled is True  # nested yaml → flat key
+    assert cfg.model.kohonen_scheduler_warmup_steps == 1000
+    assert cfg.training.consistency_weight == 0.1
+    assert cfg.data.dataset == "cifar100"
+
+
+def test_env_override_profile_contract(tmp_path, monkeypatch):
+    """≙ profiles/nvit0_k0.env: NVIT_MODEL__USE_NVIT=false etc."""
+    monkeypatch.chdir(tmp_path)
+    env = {
+        "NVIT_MODEL__USE_KOHONEN": "false",
+        "NVIT_MODEL__USE_NVIT": "false",
+        "NVIT_WANDB__RUN_NAME": "nvit_n0k0",
+        "NVIT_TRAINING__BATCH_SIZE": "64",
+        "NVIT_OPTIMIZER__LEARNING_RATE": "0.0005",
+    }
+    cfg = load_config(env=env)
+    assert cfg.model.use_nvit is False
+    assert cfg.model.use_kohonen is False
+    assert cfg.wandb.run_name == "nvit_n0k0"
+    assert cfg.training.batch_size == 64
+    assert cfg.optimizer.learning_rate == pytest.approx(5e-4)
+
+
+def test_dotenv_file(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / ".env").write_text("# comment\nNVIT_MODEL__N_LAYER=4\nNVIT_SYSTEM__DTYPE=float32\n")
+    cfg = load_config(env={})
+    assert cfg.model.n_layer == 4
+    assert cfg.system.dtype == "float32"
+
+
+def test_unknown_key_raises():
+    with pytest.raises(KeyError):
+        merge_dataclass(Config().training, {"not_a_key": 1})
+
+
+def test_model_validation_kohonen_minimum(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="kohonen_nodes"):
+        load_config(env={"NVIT_MODEL__KOHONEN_NODES": "1"})
+    # non-square counts are valid (reference default 64 → 32/map was non-square)
+    cfg = load_config(env={"NVIT_MODEL__KOHONEN_NODES": "64"})
+    assert cfg.model.kohonen_nodes == 64
+
+
+def test_vitconfig_base_scale_quirk():
+    # base_scale default stays 1/sqrt(1024) even for small n_embd (parity quirk)
+    cfg = ViTConfig(n_embd=64)
+    assert cfg.base_scale == pytest.approx(1.0 / 32.0)
+
+
+def test_read_dotenv(tmp_path):
+    p = tmp_path / ".env"
+    p.write_text('A=1\nB="quoted"\n# skip\nbad line\n')
+    env = read_dotenv(p)
+    assert env == {"A": "1", "B": "quoted"}
+
+
+def test_config_to_dict():
+    d = Config().to_dict()
+    assert d["optimizer"]["scheduler"]["type"] == "cosine"
+    assert dataclasses.is_dataclass(Config().model)
