@@ -1,0 +1,100 @@
+"""Benchmark: nViT-B/16 training step throughput on the attached TPU chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
+achieved fraction of the roofline target: images/sec/chip at 100% MFU for this
+chip's bf16 peak, using the reference's own FLOPs model
+(6N + 12·L·H·Q·T per token, model.py:387-401) with fwd+bwd per iteration.
+vs_baseline = achieved / (0.95 · roofline) — ≥1.0 means the BASELINE.json
+north-star (≥95% of roofline) is met.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+# bf16 peak FLOPS per chip by TPU generation (public spec sheets)
+PEAK_BF16 = {
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6e": 918e12,
+}
+
+
+def chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_BF16.items():
+        if key in kind.replace(" ", "").replace("lite", "e"):
+            return peak
+    if "v5" in kind and "lite" in kind:
+        return PEAK_BF16["v5e"]
+    return PEAK_BF16["v5e"]
+
+
+def main() -> None:
+    from __graft_entry__ import flagship_config
+    from nvit_tpu.models.vit import estimate_flops_per_iter, num_params
+    from nvit_tpu.train import create_train_state, make_train_step
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    cfg = flagship_config()
+    state = create_train_state(cfg)
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(key, (batch, 3, 224, 224), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, cfg.model.num_classes)
+    imgs = jax.device_put(imgs)
+    labels = jax.device_put(labels)
+
+    # warmup / compile
+    state, metrics = step_fn(state, imgs, labels)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, imgs, labels)
+    final_loss = float(metrics["total_loss"])  # fetch → raises on device error
+    dt = (time.perf_counter() - t0) / steps
+    assert final_loss == final_loss and final_loss != float("inf"), "non-finite loss"
+
+    images_per_sec = batch / dt
+
+    n = num_params(state.params)
+    flops_per_image = estimate_flops_per_iter(cfg.model, n, fwdbwd_per_iter=3)  # fwd=1, bwd=2
+    peak = chip_peak_flops()
+    roofline_imgs = peak / flops_per_image
+    target = 0.95 * roofline_imgs
+
+    print(
+        json.dumps(
+            {
+                "metric": "nvit_b16_train_images_per_sec_per_chip",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / target, 4),
+                "detail": {
+                    "batch": batch,
+                    "step_time_ms": round(dt * 1000, 2),
+                    "params": n,
+                    "mfu": round(images_per_sec * flops_per_image / peak, 4),
+                    "device": jax.devices()[0].device_kind,
+                    "peak_bf16_tflops": peak / 1e12,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,7 @@ class SystemConfig:
     quick_validation_size: int = 1000
     use_amp: bool = True  # parity knob: False forces float32 compute
     use_tqdm: bool = True
+    remat: bool = True  # jax.checkpoint the transformer blocks in training
 
 
 @dataclass(frozen=True)

@@ -114,6 +114,7 @@ def vit_apply(
     step: Array | int = 0,
     train: bool = False,
     compute_dtype: Any = None,
+    remat: bool = False,
 ) -> VitOutput:
     """Forward pass: img [B, C, H, W] → (logits [B, classes], aux_losses, som_info).
 
@@ -167,9 +168,18 @@ def vit_apply(
         patches = cross_attention_apply(params["cross_attention"], cfg, local, global_, compute_dtype=dt)
 
     # transformer trunk with the outer normalized skip (double residual,
-    # ≙ model.py:450-452)
+    # ≙ model.py:450-452).  Under remat each block's activations are
+    # recomputed in the backward pass (jax.checkpoint) — the standard TPU
+    # HBM/FLOPs trade; matmul outputs are kept via the dots policy.
+    def _block(bp, h):
+        return block_apply(bp, cfg, h, compute_dtype=dt)
+
+    if remat:
+        _block = jax.checkpoint(
+            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
     for bp in params["blocks"]:
-        patches_new = block_apply(bp, cfg, patches, compute_dtype=dt)
+        patches_new = _block(bp, patches)
         patches = norm_skip(patches_new, patches, bp["skip_param"])
 
     x = jnp.mean(patches, axis=1)

@@ -47,7 +47,9 @@ def make_loss_fn(cfg: Config):
     dt = compute_dtype_of(cfg)
 
     def loss_fn(params, images: Array, labels: Array, step: Array):
-        out = vit_apply(params, mcfg, images, step=step, train=True, compute_dtype=dt)
+        out = vit_apply(
+            params, mcfg, images, step=step, train=True, compute_dtype=dt, remat=cfg.system.remat
+        )
         loss, terms = total_loss(
             mcfg,
             cfg.training.consistency_weight,
