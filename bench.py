@@ -40,6 +40,8 @@ def chip_peak_flops() -> float:
 
 
 def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import flagship_config
     from nvit_tpu.models.vit import estimate_flops_per_iter, num_params
     from nvit_tpu.train import create_train_state, make_train_step
@@ -57,9 +59,13 @@ def main() -> None:
     imgs = jax.device_put(imgs)
     labels = jax.device_put(labels)
 
-    # warmup / compile
+    # warmup / compile — fetch a VALUE: on tunneled backends block_until_ready
+    # may return before remote execution completes, so only a host fetch is a
+    # reliable sync point
     state, metrics = step_fn(state, imgs, labels)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])
+    state, metrics = step_fn(state, imgs, labels)
+    float(metrics["total_loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -71,7 +77,8 @@ def main() -> None:
     images_per_sec = batch / dt
 
     n = num_params(state.params)
-    flops_per_image = estimate_flops_per_iter(cfg.model, n, fwdbwd_per_iter=3)  # fwd=1, bwd=2
+    # 6N-per-token already accounts for fwd+bwd (nanoGPT/PaLM accounting)
+    flops_per_image = estimate_flops_per_iter(cfg.model, n, fwdbwd_per_iter=1)
     peak = chip_peak_flops()
     roofline_imgs = peak / flops_per_image
     target = 0.95 * roofline_imgs

@@ -1,0 +1,111 @@
+"""Checkpoint save/restore: full train state + config + metrics + RNG.
+
+≙ reference train.py:360-393, 629-709: the checkpoint carries model +
+optimizer state, model_args, iter_num, metrics, the full settings tree, RNG
+state and a timestamp; ``checkpoint_latest`` is written every save and
+``checkpoint_best`` on val-loss improvement.
+
+Rebuild notes:
+* The whole TrainState (params, optimizer state, step, PRNGKey) is one pytree
+  → serialization is a flatten + npz write; restore is loading into the
+  template structure produced by ``create_train_state`` from the SAVED config
+  — which fixes the reference's resume-ordering bug (train.py:381 loads
+  optimizer state before the optimizer exists; SURVEY.md §2 #20).
+* Data-order RNG needs no separate state: epoch shuffles are pure functions
+  of (seed, epoch) and augmentation keys of (PRNGKey in state, step).
+* Files are written atomically (tmp + rename) so preemption mid-save never
+  corrupts ``checkpoint_latest`` — the TPU-preemption-safe equivalent of the
+  reference's signal-handler save.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from nvit_tpu.configs.schema import Config
+from nvit_tpu.train.state import TrainState
+
+
+def _flatten(state: TrainState) -> list[np.ndarray]:
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(state)]
+
+
+def save_checkpoint(
+    out_dir: str | Path,
+    name: str,
+    state: TrainState,
+    config: Config,
+    metrics: dict[str, float] | None = None,
+) -> Path:
+    """Write ``<out_dir>/<name>.npz`` + ``<name>.json`` atomically."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    state = jax.device_get(state)
+    leaves = _flatten(state)
+
+    arrays_path = out_dir / f"{name}.npz"
+    meta_path = out_dir / f"{name}.json"
+    tmp_arrays = arrays_path.with_suffix(".npz.tmp")
+    tmp_meta = meta_path.with_suffix(".json.tmp")
+
+    with open(tmp_arrays, "wb") as f:  # handle, so numpy can't append ".npz"
+        np.savez(f, **{f"leaf_{i}": a for i, a in enumerate(leaves)})
+    meta = {
+        "iter_num": int(state.step),
+        "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+        "config": config.to_dict(),
+        "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
+        "num_leaves": len(leaves),
+        "format": "nvit_tpu.ckpt.v1",
+    }
+    tmp_meta.write_text(json.dumps(meta, indent=2))
+    tmp_arrays.replace(arrays_path)
+    tmp_meta.replace(meta_path)
+    return arrays_path
+
+
+def load_checkpoint_meta(out_dir: str | Path, name: str) -> dict[str, Any]:
+    return json.loads((Path(out_dir) / f"{name}.json").read_text())
+
+
+def load_checkpoint(out_dir: str | Path, name: str, template: TrainState) -> tuple[TrainState, dict[str, Any]]:
+    """Restore a TrainState into ``template``'s structure (bit-exact)."""
+    meta = load_checkpoint_meta(out_dir, name)
+    with np.load(Path(out_dir) / f"{name}.npz") as data:
+        leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(t_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves but template has {len(t_leaves)} — "
+            f"config mismatch? (checkpoint config: {meta['config']['model']})"
+        )
+    typed = [np.asarray(a, dtype=t.dtype) for a, t in zip(leaves, t_leaves)]
+    state = jax.tree_util.tree_unflatten(treedef, typed)
+    return state, meta
+
+
+def restore_for_resume(out_dir: str | Path, name: str) -> tuple[TrainState, Config, dict[str, Any]]:
+    """Full resume path: rebuild the Config (and therefore the model/optimizer
+    structure) from the checkpoint's own stored settings, then load into it.
+    ≙ reference load_checkpoint's ``ViT(ViTConfig(**checkpoint['model_args']))``
+    (train.py:378-379) — but with the optimizer created first, fixing the
+    ordering bug."""
+    from nvit_tpu.configs.schema import Config as _C, merge_dataclass
+    from nvit_tpu.train.state import create_train_state
+
+    meta = load_checkpoint_meta(out_dir, name)
+    cfg = merge_dataclass(_C(), meta["config"])
+    template = create_train_state(cfg)
+    state, meta = load_checkpoint(out_dir, name, template)
+    return state, cfg, meta
+
+
+def checkpoint_exists(out_dir: str | Path, name: str) -> bool:
+    return (Path(out_dir) / f"{name}.npz").exists() and (Path(out_dir) / f"{name}.json").exists()

@@ -1,0 +1,441 @@
+"""Trainer: the host-side orchestration loop.
+
+≙ reference train.py `Trainer` (SURVEY.md §2 #12-#23): config load, output
+folder, logging, distributed setup, model/optimizer init (scratch or resume),
+training loop with eval/checkpoint/early-stop/stat-file/relaunch protocol,
+validation-only mode, signal-safe cleanup, and observability.
+
+TPU-native differences (SURVEY.md §7):
+* no process groups, barriers or ``no_sync`` — distributed setup is a device
+  mesh; the jitted step is SPMD (parallel/mesh.py);
+* no GradScaler — bf16 needs no loss scaling;
+* all hot-loop state lives in the jitted TrainState; the Python loop only
+  feeds batches, logs, evaluates and checkpoints;
+* the per-iteration seed gymnastics (train.py:867-871) become deterministic
+  key derivation: augmentation key = fold_in(state.rng, step).
+"""
+
+from __future__ import annotations
+
+import math
+import signal
+import sys
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvit_tpu.configs.loader import load_config
+from nvit_tpu.configs.schema import Config
+from nvit_tpu.ckpt.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    restore_for_resume,
+    save_checkpoint,
+)
+from nvit_tpu.data.augment import preprocess
+from nvit_tpu.data.datasets import load_dataset
+from nvit_tpu.data.pipeline import device_prefetch, make_epoch_iterator
+from nvit_tpu.models.schedules import cosine_lr
+from nvit_tpu.models.vit import estimate_flops_per_iter, num_params
+from nvit_tpu.obs.metrics import (
+    MetricsWriter,
+    StepTimer,
+    memory_stats,
+    setup_logging,
+    write_stat_line,
+)
+from nvit_tpu.parallel.mesh import batch_spec, make_mesh, shard_params
+from nvit_tpu.train.state import TrainState, create_train_state
+from nvit_tpu.train.step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, config: Config | None = None, settings_file: str | None = "settings.yaml"):
+        self.cfg = config if config is not None else load_config(settings_file)
+        cfg = self.cfg
+
+        self.out_dir = Path(cfg.data.out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)  # ≙ prep_folder
+        self.logger = setup_logging(self.out_dir, level=cfg.system.log_level, to_file=cfg.system.log_to_file)
+
+        # --- distributed setup (≙ setup_distributed, train.py:197-243) ------
+        self.mesh = None
+        if cfg.system.use_ddp and jax.device_count() > 1:
+            self.mesh = make_mesh()
+            self.logger.info(
+                "SPMD mesh initialized: %s devices (data=%d, model=%d)",
+                jax.device_count(), self.mesh.shape["data"], self.mesh.shape["model"],
+            )
+        self.batch_sharding = (
+            jax.sharding.NamedSharding(self.mesh, batch_spec()) if self.mesh is not None else None
+        )
+
+        # --- model/optimizer init (≙ initialize_model, train.py:395-459) ----
+        self.iter_num = 0
+        self.finished = False
+        self.best_val_loss: float | None = None
+        self.early_stopping_counter = 0
+        self.last_metrics: dict[str, float] = {}
+
+        init_from = cfg.training.init_from
+        if init_from == "scratch":
+            self.state = create_train_state(cfg)
+        elif init_from == "resume":
+            name = cfg.data.checkpoint_file.removesuffix(".npz")
+            state, saved_cfg, meta = restore_for_resume(cfg.data.checkpoint_dir, name)
+            # current run settings win for training/optimizer; the MODEL comes
+            # from the checkpoint (≙ reference model_args reconstruction)
+            if saved_cfg.model != cfg.model:
+                self.logger.warning("checkpoint model config differs from settings; using checkpoint's")
+                object.__setattr__(self, "cfg", cfg)
+            self.state = state
+            self.iter_num = meta["iter_num"]
+            self.logger.info("Resumed from iteration %d", self.iter_num)
+        else:
+            raise ValueError(f"Invalid init_from value: {init_from}")
+
+        if self.mesh is not None:
+            self.state = self.state._replace(
+                params=shard_params(self.state.params, self.mesh, cfg.model.use_nvit)
+            )
+
+        # jitted steps (≙ torch.compile; jit=False is the debug escape hatch)
+        self._train_step = make_train_step(cfg)
+        self._eval_step = make_eval_step(cfg)
+        if cfg.system.jit:
+            self._train_step = jax.jit(self._train_step, donate_argnums=0)
+            self._eval_step = jax.jit(self._eval_step)
+
+        self.metrics_writer: MetricsWriter | None = None
+        self._install_signal_handlers()
+
+        n = num_params(self.state.params)
+        self.logger.info("Model: %.2fM params | nvit=%s kohonen=%s | %s", n / 1e6,
+                         cfg.model.use_nvit, cfg.model.use_kohonen, cfg.data.dataset)
+        self._flops_per_iter = estimate_flops_per_iter(cfg.model, n) * cfg.training.batch_size
+
+    # ------------------------------------------------------------------ data
+    def _load_data(self):
+        cfg = self.cfg
+        self.trainset = load_dataset(
+            cfg.data.dataset, cfg.data.data_dir, train=True,
+            image_size=cfg.model.image_size, num_classes=cfg.model.num_classes,
+        )
+        self.valset = load_dataset(
+            cfg.data.dataset, cfg.data.data_dir, train=False,
+            image_size=cfg.model.image_size, num_classes=cfg.model.num_classes,
+        )
+        self.steps_per_epoch = max(1, len(self.trainset) // cfg.training.batch_size)
+
+    def _epoch_iter(self, ds, *, epoch: int, shuffle: bool, drop_last: bool = True):
+        it = make_epoch_iterator(
+            ds, batch_size=self.cfg.training.batch_size, epoch=epoch,
+            seed=self.cfg.training.seed, shuffle=shuffle, drop_last=drop_last,
+            num_workers=self.cfg.data.num_workers,
+        )
+        return device_prefetch(it, size=self.cfg.data.prefetch, sharding=self.batch_sharding)
+
+    def _preprocess(self, imgs_u8, *, train: bool):
+        key = jax.random.fold_in(self.state.rng, self.iter_num) if train else None
+        return preprocess(
+            imgs_u8, key, train=train, dataset=self.cfg.data.dataset,
+            auto_augment=self.cfg.data.augmentation.enabled and self.cfg.data.augmentation.auto_augment,
+        )
+
+    # ----------------------------------------------------------------- train
+    def train(self) -> None:
+        """Main training loop (≙ train.py:805-1023)."""
+        cfg = self.cfg
+        try:
+            tlaunch = time.time()
+            self._load_data()
+            self.metrics_writer = MetricsWriter(
+                self.out_dir, wandb_mode=cfg.wandb.mode, run_name=cfg.wandb.run_name,
+                project=cfg.wandb.project, config=cfg.to_dict(),
+            )
+            if (self.out_dir / "finished").exists() and cfg.training.init_from == "resume":
+                self.logger.info("finished sentinel present; not relaunching")
+                return
+
+            pbar = None
+            if cfg.system.use_tqdm:
+                try:
+                    from tqdm import tqdm
+
+                    pbar = tqdm(total=cfg.training.max_iters, initial=self.iter_num, desc="Training")
+                except ImportError:
+                    pass
+
+            if self.iter_num == 0 and cfg.training.init_from == "scratch":
+                write_stat_line(
+                    self.out_dir, iter_num=0, lr=0.0, train_loss=0.0, val_loss=0.0,
+                    params=jax.device_get(self.state.params), cfg=cfg, append=False,
+                )
+
+            timer = StepTimer(self._flops_per_iter, _chip_peak_flops())
+            local_iter = 0
+            epoch = self.iter_num // self.steps_per_epoch
+
+            while (
+                local_iter < cfg.training.max_iters_per_launch
+                and self.iter_num < cfg.training.max_iters
+                and time.time() - tlaunch < cfg.training.time_limit_seconds
+                and not self.finished
+            ):
+                for imgs_u8, labels in self._epoch_iter(self.trainset, epoch=epoch, shuffle=True):
+                    if (
+                        local_iter >= cfg.training.max_iters_per_launch
+                        or self.iter_num >= cfg.training.max_iters
+                        or time.time() - tlaunch >= cfg.training.time_limit_seconds
+                        or self.finished
+                    ):
+                        break
+
+                    if self.iter_num % cfg.training.eval_interval == 0:
+                        eval_metrics = self.evaluate()
+                        write_stat_line(
+                            self.out_dir,
+                            iter_num=self.iter_num,
+                            lr=float(cosine_lr(cfg.optimizer, self.iter_num)),
+                            train_loss=eval_metrics["train/loss"],
+                            val_loss=eval_metrics["val/loss"],
+                            params=jax.device_get(self.state.params),
+                            cfg=cfg,
+                        )
+
+                    images = self._preprocess(imgs_u8, train=True)
+                    self.state, step_metrics = self._train_step(self.state, images, labels)
+                    self.iter_num += 1
+                    local_iter += 1
+
+                    if self.iter_num % cfg.training.log_interval == 0:
+                        loss = float(step_metrics["total_loss"])  # sync point
+                        dt, mfu = timer.tick()
+                        dt /= cfg.training.log_interval
+                        mfu *= cfg.training.log_interval
+                        train_metrics = {
+                            "train/iter": self.iter_num,
+                            "train/batch_loss": loss,
+                            "train/batch_time_ms": dt * 1000,
+                            "train/mfu": mfu,
+                            "optimizer/learning_rate": float(step_metrics["learning_rate"]),
+                            **{f"train/{k}": float(v) for k, v in step_metrics.items()
+                               if k.endswith("_loss") or k in ("grad_norm", "param_norm")},
+                            **{f"system/{k}": v for k, v in memory_stats(cfg.system.log_memory).items()},
+                        }
+                        self.metrics_writer.log(train_metrics, step=self.iter_num)
+                        if pbar is None:
+                            self.logger.info(
+                                "Iter: %d/%d Loss: %.4f LR: %.4e Time: %.1fms",
+                                self.iter_num, cfg.training.max_iters, loss,
+                                float(step_metrics["learning_rate"]), dt * 1000,
+                            )
+                    if pbar is not None:
+                        pbar.update(1)
+
+                epoch += 1
+
+            if pbar is not None:
+                pbar.close()
+        except Exception as e:
+            self._handle_error(e)
+            raise
+        finally:
+            self.cleanup()
+
+    # ------------------------------------------------------------------ eval
+    def estimate_loss(self) -> dict[str, float]:
+        """Mean full weighted loss over eval_iters batches of both splits
+        (≙ train.py:482-506)."""
+        out = {}
+        for split, ds in (("train", self.trainset), ("val", self.valset)):
+            losses = []
+            for k, (imgs_u8, labels) in enumerate(
+                self._epoch_iter(ds, epoch=0, shuffle=False, drop_last=False)
+            ):
+                if k >= self.cfg.training.eval_iters:
+                    break
+                m = self._eval_step(self.state.params, self._preprocess(imgs_u8, train=False), labels)
+                losses.append(float(m["loss"]))
+            out[split] = float(np.mean(losses)) if losses else float("nan")
+        return out
+
+    def validate(self) -> dict[str, float]:
+        """Full validation pass with top-1/top-5 and per-loss breakdown
+        (≙ train.py:577-627)."""
+        cfg = self.cfg
+        sums: dict[str, float] = {}
+        n_batches = 0
+        for imgs_u8, labels in self._epoch_iter(self.valset, epoch=0, shuffle=False, drop_last=False):
+            m = self._eval_step(self.state.params, self._preprocess(imgs_u8, train=False), labels)
+            for k in ("loss", "top1_accuracy", "top5_accuracy"):
+                sums[k] = sums.get(k, 0.0) + float(m[k])
+            if cfg.model.use_kohonen:
+                for src, dst in (
+                    ("kohonen_consistency", "consistency_loss"),
+                    ("kohonen_smoothness", "smoothness_loss"),
+                    ("local_quantization", "local_quantization_loss"),
+                    ("global_quantization", "global_quantization_loss"),
+                ):
+                    sums[dst] = sums.get(dst, 0.0) + float(m[src])
+            n_batches += 1
+        metrics = {f"val/{k}": v / max(n_batches, 1) for k, v in sums.items()}
+        return metrics
+
+    def validate_only(self) -> dict[str, float]:
+        """≙ train.py:179-189."""
+        self.logger.info("Running in validation-only mode")
+        if self.cfg.training.init_from != "resume":
+            raise ValueError("Must provide a checkpoint to run validation-only mode")
+        self._load_data()
+        metrics = self.validate()
+        self.logger.info("Validation metrics: %s", metrics)
+        return metrics
+
+    def evaluate(self) -> dict[str, float]:
+        """Periodic eval: validate + estimate_loss + early-stop + checkpoint
+        (≙ train.py:728-766)."""
+        cfg = self.cfg
+        val_metrics = self.validate()
+        train_loss = self.estimate_loss()["train"]
+        metrics = {
+            "train/loss": train_loss,
+            **val_metrics,
+            "optimizer/learning_rate": float(cosine_lr(cfg.optimizer, self.iter_num)),
+            "training/global_step": self.iter_num,
+        }
+        self.last_metrics = dict(metrics)
+        if self.metrics_writer is not None:
+            self.metrics_writer.log(metrics, step=self.iter_num)
+
+        if self._should_stop_early(metrics["val/loss"]):
+            self.logger.info("Early stopping triggered!")
+            self.mark_training_finished()
+
+        if cfg.training.always_save_checkpoint and self.iter_num > 0:
+            self.save(metrics)
+        return metrics
+
+    def _should_stop_early(self, val_loss: float) -> bool:
+        """≙ train.py:711-726."""
+        if self.best_val_loss is None:
+            self.best_val_loss = float("inf")
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            self.early_stopping_counter = 0
+        else:
+            self.early_stopping_counter += 1
+        return self.early_stopping_counter >= self.cfg.training.early_stopping_patience
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, metrics: dict[str, float] | None = None) -> None:
+        """latest always; best on val-loss improvement (≙ train.py:629-709)."""
+        t0 = time.time()
+        metrics = metrics or self.last_metrics
+        save_checkpoint(self.out_dir, "checkpoint_latest", self.state, self.cfg, metrics)
+        if self.cfg.training.save_numbered_checkpoints:
+            save_checkpoint(self.out_dir, f"checkpoint_{self.iter_num:07d}", self.state, self.cfg, metrics)
+        val_loss = (metrics or {}).get("val/loss")
+        if val_loss is not None and val_loss <= (self.best_val_loss if self.best_val_loss is not None else float("inf")):
+            save_checkpoint(self.out_dir, "checkpoint_best", self.state, self.cfg, metrics)
+            self._maybe_log_artifact()
+        self.logger.info("Checkpoint saving time: %.2f sec", time.time() - t0)
+
+    def _maybe_log_artifact(self) -> None:
+        """wandb artifact versioning with old-version deletion
+        (≙ train.py:668-707); no-op when wandb is unavailable."""
+        mw = self.metrics_writer
+        if mw is None or mw.wandb is None or not self.cfg.wandb.save_artifacts:
+            return
+        wandb = mw.wandb
+        timestamp = time.strftime("%d_%m_%Y-%Hh%Mm")
+        kind = "nvit" if self.cfg.model.use_nvit else "vit"
+        name = f"model-{self.cfg.wandb.run_name}-{kind}-{timestamp}"
+        try:
+            artifact = wandb.Artifact(
+                name=name, type="model",
+                metadata={"iter_num": self.iter_num, "metrics": self.last_metrics,
+                          "using_nvit": self.cfg.model.use_nvit},
+            )
+            artifact.add_file(str(self.out_dir / "checkpoint_best.npz"))
+            artifact.add_file(str(self.out_dir / "checkpoint_best.json"))
+            wandb.log_artifact(artifact)
+            prev = getattr(self, "_last_artifact", None)
+            if prev:
+                try:
+                    wandb.Api().artifact(f"{wandb.run.entity}/{wandb.run.project}/{prev}").delete()
+                except Exception as e:
+                    self.logger.info("Failed to delete old artifact: %s", e)
+            self._last_artifact = name
+        except Exception as e:
+            self.logger.warning("artifact logging failed: %s", e)
+
+    def mark_training_finished(self) -> None:
+        """Sentinel for the relaunch protocol (≙ train.py:1074-1079)."""
+        self.finished = True
+        (self.out_dir / "finished").write_text("1")
+
+    # --------------------------------------------------------------- cleanup
+    def _install_signal_handlers(self) -> None:
+        """SIGINT/SIGTERM → save + cleanup + exit (≙ train.py:113-116, 1175-1180)."""
+
+        def handler(signum, frame):
+            self.logger.info("Received signal %s. Performing cleanup...", signum)
+            self.cleanup()
+            sys.exit(0)
+
+        try:
+            signal.signal(signal.SIGINT, handler)
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not in main thread (tests)
+
+    def cleanup(self) -> None:
+        """Final checkpoint + sink teardown (≙ train.py:153-177)."""
+        try:
+            if self.iter_num > 0:
+                self.save(self.last_metrics)
+            if self.metrics_writer is not None:
+                self.metrics_writer.finish()
+                self.metrics_writer = None
+        except Exception as e:  # never raise during teardown
+            self.logger.error("Error during cleanup: %s", e)
+
+    def _handle_error(self, error: Exception) -> None:
+        """Actionable advice for common failures (≙ train.py:1154-1173)."""
+        msg = str(error)
+        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+            self.logger.error(
+                "DEVICE OUT OF MEMORY!\nTry:\n\t1. Reducing batch size\n\t2. Reducing model size\n"
+                "\t3. Using gradient accumulation\n\t4. Enabling remat (system.remat=true)"
+            )
+        elif isinstance(error, ValueError):
+            self.logger.error("Configuration error: %s", error)
+        else:
+            self.logger.error("Unknown error: %s", error)
+
+
+def _chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    table = {"v5p": 459e12, "v5": 197e12, "v4": 275e12, "v6": 918e12}
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def main(argv: list[str] | None = None) -> None:
+    """≙ reference train.py:1203-1212 main()."""
+    trainer = Trainer()
+    if trainer.cfg.training.eval_only:
+        trainer.validate_only()
+    else:
+        trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Integration tests: Trainer end-to-end on synthetic data (CPU), checkpoint
+save/resume roundtrip, validate_only, early stopping, relaunch protocol."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from nvit_tpu.configs.schema import (
+    AugmentationConfig,
+    Config,
+    DataConfig,
+    OptimizerConfig,
+    SystemConfig,
+    TrainingConfig,
+    ViTConfig,
+)
+from nvit_tpu.ckpt.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    restore_for_resume,
+    save_checkpoint,
+)
+from nvit_tpu.train.state import create_train_state
+from nvit_tpu.train.trainer import Trainer
+
+
+def make_cfg(tmp_path, **overrides) -> Config:
+    cfg = Config(
+        model=ViTConfig(
+            image_size=16, n_layer=1, n_head=2, n_embd=32, num_classes=10,
+            local_patch_size=4, global_patch_size=8, kohonen_nodes=18,
+            use_nvit=True, use_kohonen=True, bias=True, flash_attn=False,
+        ),
+        training=TrainingConfig(
+            batch_size=16, max_iters=6, max_iters_per_launch=100, eval_interval=3,
+            log_interval=2, eval_iters=2, early_stopping_patience=10,
+        ),
+        optimizer=OptimizerConfig(learning_rate=1e-3, warmup_iters=2, lr_decay_iters=100),
+        system=SystemConfig(use_ddp=False, use_tqdm=False, dtype="float32", use_amp=False),
+        data=DataConfig(
+            out_dir=str(tmp_path / "out"), dataset="synthetic", data_dir=str(tmp_path / "data"),
+            augmentation=AugmentationConfig(enabled=False),
+        ),
+    )
+    for k, v in overrides.items():
+        cfg = dataclasses.replace(cfg, **{k: v})
+    return cfg
+
+
+class TestCheckpoint:
+    def test_roundtrip_bit_exact(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        state = create_train_state(cfg)
+        save_checkpoint(tmp_path, "ck", state, cfg, {"val/loss": 1.25})
+        template = create_train_state(cfg, seed=999)  # different values, same shape
+        restored, meta = load_checkpoint(tmp_path, "ck", template)
+        for a, b in zip(
+            __import__("jax").tree_util.tree_leaves(state),
+            __import__("jax").tree_util.tree_leaves(restored),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert meta["metrics"]["val/loss"] == 1.25
+        assert meta["iter_num"] == 0
+
+    def test_restore_for_resume_rebuilds_from_saved_config(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        state = create_train_state(cfg)
+        save_checkpoint(tmp_path, "ck", state, cfg, {})
+        restored, cfg2, meta = restore_for_resume(tmp_path, "ck")
+        assert cfg2.model.n_embd == 32
+        assert len(restored.params["blocks"]) == 1
+
+    def test_mismatched_config_raises(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        state = create_train_state(cfg)
+        save_checkpoint(tmp_path, "ck", state, cfg, {})
+        other = make_cfg(tmp_path)
+        other = dataclasses.replace(other, model=dataclasses.replace(other.model, n_layer=2))
+        with pytest.raises(ValueError, match="leaves"):
+            load_checkpoint(tmp_path, "ck", create_train_state(other))
+
+    def test_exists(self, tmp_path):
+        assert not checkpoint_exists(tmp_path, "nope")
+
+
+class TestTrainerEndToEnd:
+    def test_short_train_run(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        t = Trainer(config=cfg)
+        t.train()
+        assert t.iter_num == 6
+        out = tmp_path / "out"
+        assert (out / "checkpoint_latest.npz").exists()
+        assert (out / "training.log").exists()
+        assert (out / "stat").exists()
+        assert (out / "metrics.jsonl").exists()
+        # stat file has the init line + eval lines, with nViT hparam columns
+        lines = (out / "stat").read_text().strip().splitlines()
+        assert len(lines) >= 2
+        assert len(lines[-1].split()) == 13 + 1 + 4 * cfg.model.n_layer
+
+    def test_metrics_jsonl_contents(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        Trainer(config=cfg).train()
+        rows = [json.loads(l) for l in (tmp_path / "out" / "metrics.jsonl").read_text().splitlines()]
+        train_rows = [r for r in rows if "train/batch_loss" in r]
+        eval_rows = [r for r in rows if "val/loss" in r]
+        assert train_rows and eval_rows
+        assert "val/top1_accuracy" in eval_rows[0]
+        assert "val/consistency_loss" in eval_rows[0]  # kohonen breakdown
+
+    def test_resume_continues(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        t1 = Trainer(config=cfg)
+        t1.train()
+        assert t1.iter_num == 6
+
+        cfg2 = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, init_from="resume", max_iters=10),
+            data=dataclasses.replace(cfg.data, checkpoint_dir=str(tmp_path / "out")),
+        )
+        t2 = Trainer(config=cfg2)
+        assert t2.iter_num == 6
+        t2.train()
+        assert t2.iter_num == 10
+
+    def test_validate_only(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        Trainer(config=cfg).train()
+        cfg2 = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, init_from="resume", eval_only=True),
+            data=dataclasses.replace(cfg.data, checkpoint_dir=str(tmp_path / "out")),
+        )
+        m = Trainer(config=cfg2).validate_only()
+        assert "val/loss" in m and "val/top1_accuracy" in m
+
+    def test_validate_only_requires_resume(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        t = Trainer(config=cfg)
+        with pytest.raises(ValueError, match="checkpoint"):
+            t.validate_only()
+
+    def test_finished_sentinel_written_on_early_stop(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        t = Trainer(config=cfg)
+        t._load_data()
+        t.best_val_loss = 0.0  # nothing will improve on this
+        t.early_stopping_counter = cfg.training.early_stopping_patience - 1
+        assert t._should_stop_early(1.0) is True
+        t.mark_training_finished()
+        assert (tmp_path / "out" / "finished").exists()
+        assert t.finished
+
+    def test_baseline_profile_runs(self, tmp_path):
+        """n0k0: the profile the reference crashes on (RMSNorm bug) must work."""
+        cfg = make_cfg(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, use_nvit=False, use_kohonen=False)
+        )
+        t = Trainer(config=cfg)
+        t.train()
+        assert t.iter_num == 6
