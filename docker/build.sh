@@ -1,0 +1,4 @@
+#!/bin/bash
+set -euo pipefail
+cd "$(dirname "$0")/.."
+docker build -f docker/Dockerfile -t nvit-tpu:latest .

@@ -1,0 +1,75 @@
+#!/usr/bin/env just --justfile
+# Task runner (≙ reference justfile surface: train-local / train / run-profiles
+# / attach / clean, with optional tmux detach via -d/--detach).
+
+session := env_var_or_default("SESSION", "nvit")
+
+default:
+    @just --list
+
+# Train on the local TPU host. Pass -d/--detach to run inside tmux.
+train-local *ARGS:
+    #!/usr/bin/env bash
+    use_tmux=false; args=""
+    for arg in {{ARGS}}; do
+        if [ "$arg" = "-d" ] || [ "$arg" = "--detach" ]; then use_tmux=true; else args="$args $arg"; fi
+    done
+    if [ "$use_tmux" = true ]; then
+        tmux has-session -t {{session}} 2>/dev/null || tmux new-session -d -s {{session}}
+        tmux send-keys -t {{session}} "./launcher.sh $args" Enter
+        echo "Training started in tmux session '{{session}}'. Use 'just attach' to view (Ctrl+B, D to detach)."
+    else
+        ./launcher.sh $args
+    fi
+
+# Containerized training (TPU VM image).
+docker-build:
+    cd docker && ./build.sh
+
+train *ARGS:
+    #!/usr/bin/env bash
+    use_tmux=false; args=""
+    for arg in {{ARGS}}; do
+        if [ "$arg" = "-d" ] || [ "$arg" = "--detach" ]; then use_tmux=true; else args="$args $arg"; fi
+    done
+    cmd="./docker/docker_launcher.sh $args"
+    if [ "$use_tmux" = true ]; then
+        tmux has-session -t {{session}} 2>/dev/null || tmux new-session -d -s {{session}}
+        tmux send-keys -t {{session}} "$cmd" Enter
+        echo "Training started in tmux session '{{session}}'. Use 'just attach' to view (Ctrl+B, D to detach)."
+    else
+        $cmd
+    fi
+
+# Run the experiment matrix in profiles/*.env sequentially.
+run-profiles *ARGS:
+    #!/usr/bin/env bash
+    use_tmux=false; args=""
+    for arg in {{ARGS}}; do
+        if [ "$arg" = "-d" ] || [ "$arg" = "--detach" ]; then use_tmux=true; else args="$args $arg"; fi
+    done
+    if [ "$use_tmux" = true ]; then
+        tmux has-session -t {{session}} 2>/dev/null || tmux new-session -d -s {{session}}
+        tmux send-keys -t {{session}} "./run_profiles.sh $args" Enter
+        echo "Profile sweep started in tmux session '{{session}}'."
+    else
+        ./run_profiles.sh $args
+    fi
+
+# Smoke-test / visualization CLI (≙ python -m nvit.debug).
+debug:
+    python -m nvit_tpu.debug
+
+test:
+    python -m pytest tests/ -x -q
+
+bench *ARGS:
+    python bench.py {{ARGS}}
+
+clean:
+    rm -rf .cache .pytest_cache .jax_cache
+    find . -type d -name "__pycache__" -exec rm -rf {} +
+    find . -type f -name "*.pyc" -delete
+
+attach:
+    tmux attach -t {{session}}

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Sequential sweep over profiles/*.env (≙ reference run_profiles.sh:8-53):
+# each profile's NVIT_* overrides are merged with the root .env (profile wins)
+# and a fresh training run is launched; runs are sequential and isolated.
+
+set -euo pipefail
+cd "$(dirname "$0")"
+
+profiles_dir="profiles"
+while [[ $# -gt 0 ]]; do
+    case $1 in
+        --profiles-dir) profiles_dir="$2"; shift 2 ;;
+        *) echo "Unknown argument: $1"; exit 1 ;;
+    esac
+done
+
+shopt -s nullglob
+env_files=("$profiles_dir"/*.env)
+if [ ${#env_files[@]} -eq 0 ]; then
+    echo "No profile .env files found in $profiles_dir"
+    exit 1
+fi
+
+for env_file in "${env_files[@]}"; do
+    name="$(basename "$env_file" .env)"
+    echo "=== Running profile: $name ==="
+    (
+        set -a
+        [ -f .env ] && . ./.env
+        . "$env_file"
+        set +a
+        # per-profile output dir so sweeps don't clobber each other
+        export NVIT_DATA__OUT_DIR="${NVIT_DATA__OUT_DIR:-./out/$name}"
+        python -m nvit_tpu
+    )
+done
