@@ -1,17 +1,240 @@
-"""Pallas fused attention for TPU (flash-style blockwise softmax).
+"""Pallas fused attention for TPU — flash-style, non-causal, custom scale.
 
-≙ reference flash-attn 2.x dependency (model.py:7,122,253).  Current status:
-the fused Pallas kernel is being brought up; this module exposes the
-dispatch point used by ops/attention.py.  Until the kernel lands, the XLA
-path (which XLA already fuses well at these sequence lengths ≤ 784) is used.
+≙ reference flash-attn 2.x CUDA dependency (model.py:7, 122, 253), rebuilt as
+TPU Pallas kernels.  The payoff vs the XLA path is memory: the [B, H, T, T]
+logits/probs tensors never touch HBM — each (batch·head, q-tile) program
+computes its softmax entirely in VMEM — which is what bounds the trainable
+batch size at ImageNet scale (T = 784 tokens).
+
+Design notes (shapes sized for this model family: T ≤ a few thousand):
+* K/V for one (batch, head) fit comfortably in VMEM (T_pad × 64 × bf16 ≈
+  114 KB at T=896), so the kernel uses a single-pass softmax over the full
+  key axis per q-tile — flash-style tiling over Q only, no online-softmax
+  carry loop.  All reductions are fp32; the P·V matmul feeds the MXU in the
+  input dtype with fp32 accumulation.
+* Sequence padding to the 128-lane tile is handled by masking padded KEY
+  columns with −1e30 in the forward and zeroing padded QUERY columns of Pᵀ in
+  the backward; padded rows are sliced away by the wrapper.
+* Backward is the FlashAttention-2 split: a dq kernel tiled over Q and a
+  dk/dv kernel tiled over K, both recomputing P from the saved logsumexp.
+* Custom softmax scale: baseline 1/sqrt(d), nViT sqrt(d) (model.py:114-116).
+
+The public entry ``flash_attention(q, k, v, scale)`` is differentiable
+(custom VJP) and used via ops/attention.py when ``config.flash_attn=True``.
 """
 
 from __future__ import annotations
 
-from jax import Array
+import functools
+import math
 
-from nvit_tpu.ops.attention import sdpa_xla
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+LANE = 128
+NEG_INF = -1e30
+
+
+def _pad_len(t: int) -> int:
+    return ((t + LANE - 1) // LANE) * LANE
+
+
+# --------------------------------------------------------------------- fwd
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_actual: int):
+    """One (batch·head, q-tile) program: full-K softmax in VMEM.
+
+    q_ref: [BLOCK_Q, D]; k_ref/v_ref: [T_pad, D]; o_ref: [BLOCK_Q, D];
+    lse_ref: [BLOCK_Q, 1] (fp32).
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    t_pad = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, T_pad]
+    s = s * scale
+    if t_actual < t_pad:  # mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < t_actual, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)  # [BQ, 1]
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, D]
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _fwd(q3: Array, k3: Array, v3: Array, scale: float, t_actual: int):
+    """q3/k3/v3: [BH, T_pad, D] → (o [BH, T_pad, D], lse [BH, T_pad, 1])."""
+    bh, t_pad, d = q3.shape
+    grid = (bh, t_pad // BLOCK_Q)
+    kernel = functools.partial(_fwd_kernel, scale=scale, t_actual=t_actual)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * d,
+            bytes_accessed=bh * t_pad * d * 3 * q3.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+    )(q3, k3, v3)
+    return o, lse
+
+
+# ---------------------------------------------------------------------- bwd
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, t_actual):
+    """dq tile: dq = (P ∘ (dO·Vᵀ − Δ)) · K · scale, P recomputed from lse."""
+    q = q_ref[0]
+    k = k_ref[0]
+    t_pad = k.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    if t_actual < t_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < t_actual, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])  # [BQ, T_pad]
+
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, T_pad]
+    ds = p * (dp - delta_ref[0])  # [BQ, T_pad] fp32
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, t_actual):
+    """dk/dv tile over K: Pᵀ recomputed; padded QUERY columns zeroed."""
+    k = k_ref[0]  # [BK, D]
+    q = q_ref[0]  # [T_pad, D]
+    t_pad = q.shape[0]
+
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    st = st * scale  # [BK, T_pad] = S^T
+    pt = jnp.exp(st - lse_ref[0].reshape(1, t_pad))
+    if t_actual < t_pad:  # zero padded query columns
+        col = jax.lax.broadcasted_iota(jnp.int32, pt.shape, dimension=1)
+        pt = jnp.where(col < t_actual, pt, 0.0)
+
+    dv = jax.lax.dot_general(
+        pt.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BK, D]
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    dpt = jax.lax.dot_general(
+        v_ref[0], do_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, T_pad]
+    dst = pt * (dpt - delta_ref[0].reshape(1, t_pad))
+    dk = jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+
+
+def _bwd(scale: float, t_actual: int, res, g):
+    q3, k3, v3, o3, lse = res
+    bh, t_pad, d = q3.shape
+    g = g.astype(o3.dtype)
+
+    # Δ_i = rowsum(dO ∘ O) — cheap elementwise reduce, fused by XLA
+    delta = jnp.sum(g.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
+
+    grid_q = (bh, t_pad // BLOCK_Q)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, t_actual=t_actual),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+    )(q3, k3, v3, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, t_actual=t_actual),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
+        ],
+    )(q3, k3, v3, g, lse, delta)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------------------ wrapper
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_padded(q3, k3, v3, static):
+    o, _ = _fwd(q3, k3, v3, *static)
+    return o
+
+
+def _flash_padded_fwd(q3, k3, v3, static):
+    o, lse = _fwd(q3, k3, v3, *static)
+    return o, (q3, k3, v3, o, lse)
+
+
+def _flash_padded_bwd(static, res, g):
+    return _bwd(static[0], static[1], res, g)
+
+
+_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 
 def flash_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
-    return sdpa_xla(q, k, v, scale)
+    """Fused non-causal attention.  q/k/v: [B, H, T, D] (same T for q and kv
+    in this model); returns [B, H, T, D] in v.dtype."""
+    b, h, t, d = q.shape
+    t_pad = _pad_len(t)
+    dtype = v.dtype
+
+    def prep(x):
+        x = x.astype(dtype).reshape(b * h, t, d)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    o = _flash_padded(prep(q), prep(k), prep(v), (float(scale), t))
+    return o[:, :t, :].reshape(b, h, t, d)
