@@ -264,13 +264,21 @@ class Trainer:
             out[split] = float(np.mean(losses)) if losses else float("nan")
         return out
 
-    def validate(self) -> dict[str, float]:
+    def validate(self, *, quick: bool = False) -> dict[str, float]:
         """Full validation pass with top-1/top-5 and per-loss breakdown
-        (≙ train.py:577-627)."""
+        (≙ train.py:577-627).  ``quick=True`` caps the pass at
+        ``quick_validation_size`` examples — the reference DEFINED this
+        (get_validation_subset, train.py:1182-1200 + settings quick_validation)
+        but never wired it in; here the periodic in-training eval uses it."""
         cfg = self.cfg
+        max_batches = None
+        if quick and cfg.system.quick_validation:
+            max_batches = max(1, cfg.system.quick_validation_size // cfg.training.batch_size)
         sums: dict[str, float] = {}
         n_batches = 0
         for imgs_u8, labels in self._epoch_iter(self.valset, epoch=0, shuffle=False, drop_last=False):
+            if max_batches is not None and n_batches >= max_batches:
+                break
             m = self._eval_step(self.state.params, self._preprocess(imgs_u8, train=False), labels)
             for k in ("loss", "top1_accuracy", "top5_accuracy"):
                 sums[k] = sums.get(k, 0.0) + float(m[k])
@@ -300,7 +308,7 @@ class Trainer:
         """Periodic eval: validate + estimate_loss + early-stop + checkpoint
         (≙ train.py:728-766)."""
         cfg = self.cfg
-        val_metrics = self.validate()
+        val_metrics = self.validate(quick=True)
         train_loss = self.estimate_loss()["train"]
         metrics = {
             "train/loss": train_loss,
