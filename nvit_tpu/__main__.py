@@ -6,7 +6,17 @@ via SPMD; multi-host runs call ``jax.distributed.initialize()`` first (one
 process per host, same command on every host).
 """
 
+import os
+
 from nvit_tpu.train.trainer import main
 
 if __name__ == "__main__":
+    # Multi-host SPMD: set NVIT_MULTIHOST=1 (plus the standard JAX coordinator
+    # env: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or
+    # a TPU-pod metadata environment where initialize() needs no args).
+    # ≙ the reference's torchrun rendezvous (RANK/WORLD_SIZE/MASTER_*).
+    if os.environ.get("NVIT_MULTIHOST") == "1":
+        import jax
+
+        jax.distributed.initialize()
     main()

@@ -125,6 +125,14 @@ def vit_apply(
     dt = compute_dtype
     local, global_ = embed_patches(params, cfg, img, compute_dtype=dt)
 
+    def _cross(cp, a, b_):
+        return cross_attention_apply(cp, cfg, a, b_, compute_dtype=dt)
+
+    if remat:
+        _cross = jax.checkpoint(
+            _cross, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+
     aux: dict[str, Array] = {}
     som_info: dict[str, Array] = {}
 
@@ -153,8 +161,8 @@ def vit_apply(
 
         # one SHARED cross-attention block reused for all three fusions
         # (≙ model.py:326, 433-444)
-        local_new = cross_attention_apply(params["cross_attention"], cfg, local_repr, local, compute_dtype=dt)
-        global_new = cross_attention_apply(params["cross_attention"], cfg, global_repr, global_, compute_dtype=dt)
+        local_new = _cross(params["cross_attention"], local_repr, local)
+        global_new = _cross(params["cross_attention"], global_repr, global_)
 
         aux["kohonen_consistency"] = L.consistency_loss(local_repr, global_repr)
         aux["kohonen_smoothness"] = L.smoothness_loss(
@@ -163,9 +171,9 @@ def vit_apply(
         aux["local_quantization"] = L.huber_loss(local_repr, local)
         aux["global_quantization"] = L.huber_loss(global_repr, global_)
 
-        patches = cross_attention_apply(params["cross_attention"], cfg, local_new, global_new, compute_dtype=dt)
+        patches = _cross(params["cross_attention"], local_new, global_new)
     else:
-        patches = cross_attention_apply(params["cross_attention"], cfg, local, global_, compute_dtype=dt)
+        patches = _cross(params["cross_attention"], local, global_)
 
     # transformer trunk with the outer normalized skip (double residual,
     # ≙ model.py:450-452).  Under remat each block's activations are

@@ -136,6 +136,9 @@ class Trainer:
             ds, batch_size=self.cfg.training.batch_size, epoch=epoch,
             seed=self.cfg.training.seed, shuffle=shuffle, drop_last=drop_last,
             num_workers=self.cfg.data.num_workers,
+            # multi-host: each process loads its strided shard
+            # (≙ DistributedSampler rank/num_replicas, train.py:310-320)
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
         )
         return device_prefetch(it, size=self.cfg.data.prefetch, sharding=self.batch_sharding)
 
