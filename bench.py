@@ -46,10 +46,13 @@ def main() -> None:
     from nvit_tpu.models.vit import estimate_flops_per_iter, num_params
     from nvit_tpu.train import create_train_state, make_train_step
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
-    cfg = flagship_config()
+    import os
+
+    use_flash = os.environ.get("NVIT_BENCH_FLASH", "1") == "1"
+    cfg = flagship_config(flash_attn=use_flash)
     state = create_train_state(cfg)
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
 

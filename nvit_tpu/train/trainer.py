@@ -62,6 +62,10 @@ class Trainer:
         self.out_dir.mkdir(parents=True, exist_ok=True)  # ≙ prep_folder
         self.logger = setup_logging(self.out_dir, level=cfg.system.log_level, to_file=cfg.system.log_to_file)
 
+        from nvit_tpu.obs.profiling import apply_debug_flags
+
+        apply_debug_flags(debug_nans=cfg.system.debug_nans, disable_jit=not cfg.system.jit)
+
         # --- distributed setup (≙ setup_distributed, train.py:197-243) ------
         self.mesh = None
         if cfg.system.use_ddp and jax.device_count() > 1:
@@ -210,10 +214,17 @@ class Trainer:
                             cfg=cfg,
                         )
 
+                    # jax.profiler trace of steps [1, 1+profile_steps) — step 0
+                    # is compile (≙ SURVEY §5 tracing row; view in TensorBoard)
+                    if cfg.system.profile_steps > 0 and local_iter == 1:
+                        jax.profiler.start_trace(str(self.out_dir / "profile"))
                     images = self._preprocess(imgs_u8, train=True)
                     self.state, step_metrics = self._train_step(self.state, images, labels)
                     self.iter_num += 1
                     local_iter += 1
+                    if cfg.system.profile_steps > 0 and local_iter == 1 + cfg.system.profile_steps:
+                        jax.block_until_ready(step_metrics["total_loss"])
+                        jax.profiler.stop_trace()
 
                     if self.iter_num % cfg.training.log_interval == 0:
                         loss = float(step_metrics["total_loss"])  # sync point
