@@ -49,10 +49,13 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
+    import dataclasses
     import os
 
     use_flash = os.environ.get("NVIT_BENCH_FLASH", "1") == "1"
     cfg = flagship_config(flash_attn=use_flash)
+    if os.environ.get("NVIT_BENCH_REMAT", "1") == "0":
+        cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat=False))
     state = create_train_state(cfg)
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
 

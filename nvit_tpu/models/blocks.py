@@ -24,6 +24,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax import Array
+from jax.ad_checkpoint import checkpoint_name
 
 from nvit_tpu.configs.schema import ViTConfig
 from nvit_tpu.core.layers import c_proj_std, init_linear, linear
@@ -112,6 +113,9 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
     sqrt_hd = math.sqrt(cfg.head_dim)
     scale = sqrt_hd if cfg.use_nvit else 1.0 / sqrt_hd
     att = attention(q, k, v, scale, use_flash=cfg.flash_attn)
+    # named so the remat policy can SAVE attention outputs — backward then
+    # recomputes only the cheap elementwise/linear parts, not the kernel
+    att = checkpoint_name(att, "attn_out")
     h_att = linear(p["att_c_proj"], _merge_heads(att), compute_dtype=dt)
 
     if cfg.use_nvit:
@@ -123,7 +127,11 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
     uv = linear(p["c_fc"], x, compute_dtype=dt)
     if cfg.use_nvit:
         suv_eff = p["suv"] * ((SUV_INIT_VALUE / SUV_INIT_SCALING) * math.sqrt(cfg.n_embd))
-        uv = (suv_eff * uv.astype(jnp.float32)).astype(uv.dtype)
+        # under the bf16 policy the gate stays in bf16 (suv_eff ≈ √d·1 is well
+        # inside bf16 range; an fp32 upcast here would cost ~1.5 GB/block of
+        # HBM traffic on the 8d-wide tensor); fp32 mode keeps fp32 exactly
+        suv_eff = suv_eff.astype(uv.dtype) if dt is not None else suv_eff
+        uv = (suv_eff * uv.astype(suv_eff.dtype)).astype(uv.dtype)
     u, v_gate = jnp.split(uv, 2, axis=-1)
     x_mlp = u * jax.nn.silu(v_gate)
     h_mlp = linear(p["mlp_c_proj"], x_mlp, compute_dtype=dt)
