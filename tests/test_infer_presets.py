@@ -1,0 +1,63 @@
+"""Predictor + presets tests."""
+
+import numpy as np
+import pytest
+
+from nvit_tpu.configs.schema import Config, DataConfig, SystemConfig, TrainingConfig, ViTConfig
+from nvit_tpu.infer import Predictor
+from nvit_tpu.models.presets import PRESETS, preset
+
+
+def small_cfg(tmp_path):
+    return Config(
+        model=ViTConfig(
+            image_size=16, n_layer=1, n_head=2, n_embd=32, num_classes=7,
+            local_patch_size=4, global_patch_size=8, use_nvit=True,
+            use_kohonen=False, flash_attn=False,
+        ),
+        training=TrainingConfig(batch_size=4),
+        system=SystemConfig(use_ddp=False),
+        data=DataConfig(out_dir=str(tmp_path)),
+    )
+
+
+def test_preset_lookup():
+    cfg = ViTConfig(**preset("nvit-b16"), num_classes=1000)
+    assert cfg.n_embd == 768 and cfg.n_layer == 12 and cfg.use_nvit
+    with pytest.raises(KeyError):
+        preset("nope")
+    assert "nvit-l16" in PRESETS
+
+
+def test_predictor_fresh(tmp_path):
+    cfg = small_cfg(tmp_path)
+    p = Predictor.from_config(cfg, compute_dtype=None)
+    imgs = np.random.RandomState(0).randint(0, 256, (3, 3, 16, 16), dtype=np.uint8)
+    probs = p.predict_probs(imgs)
+    assert probs.shape == (3, 7)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    idx, pk = p.predict(imgs, top_k=3)
+    assert idx.shape == (3, 3)
+    assert (pk[:, 0] >= pk[:, 1]).all()
+
+
+def test_predictor_from_checkpoint(tmp_path):
+    from nvit_tpu.ckpt.checkpoint import save_checkpoint
+    from nvit_tpu.train.state import create_train_state
+
+    cfg = small_cfg(tmp_path)
+    state = create_train_state(cfg)
+    save_checkpoint(tmp_path, "checkpoint_best", state, cfg, {"val/loss": 1.0})
+    p = Predictor.from_checkpoint(tmp_path, "checkpoint_best", compute_dtype=None)
+    imgs = np.zeros((2, 3, 16, 16), dtype=np.uint8)
+    probs = p.predict_probs(imgs)
+    assert probs.shape == (2, 7)
+
+    # predictions match the raw forward on the saved params
+    import jax, jax.numpy as jnp
+    from nvit_tpu.data.augment import normalize
+    from nvit_tpu.models.vit import vit_apply
+
+    ref = vit_apply(state.params, cfg.model, normalize(jnp.asarray(imgs))).logits
+    ref_probs = np.asarray(jax.nn.softmax(ref.astype(jnp.float32), -1))
+    np.testing.assert_allclose(probs, ref_probs, rtol=1e-4, atol=1e-6)
