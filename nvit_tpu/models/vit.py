@@ -183,11 +183,8 @@ def vit_apply(
         return block_apply(bp, cfg, h, compute_dtype=dt)
 
     if remat:
-        # save the flash-attention outputs across the remat boundary (they are
-        # the most expensive thing to recompute; ~77 MB/block at B=32 bf16) —
-        # everything else in the block is recomputed in backward
         _block = jax.checkpoint(
-            _block, policy=jax.checkpoint_policies.save_only_these_names("attn_out")
+            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         )
     for bp in params["blocks"]:
         patches_new = _block(bp, patches)
