@@ -67,16 +67,15 @@ def init_block(key: Array, cfg: ViTConfig) -> Params:
 
 
 def _split_heads(x: Array, n_head: int) -> Array:
-    """[B, T, C] → [B, T, H, D] — a free reshape (head-minor layout; no
-    transpose copy, unlike the torch reference's [B, H, T, D] rearrange)."""
+    """[B, T, C] → [B, H, T, D]."""
     b, t, c = x.shape
-    return x.reshape(b, t, n_head, c // n_head)
+    return x.reshape(b, t, n_head, c // n_head).transpose(0, 2, 1, 3)
 
 
 def _merge_heads(x: Array) -> Array:
-    """[B, T, H, D] → [B, T, C] — free reshape."""
-    b, t, h, d = x.shape
-    return x.reshape(b, t, h * d)
+    """[B, H, T, D] → [B, T, C]."""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
 def _sqk_scale_qk(q: Array, k: Array, sqk: Array, cfg: ViTConfig, out_dtype: Any) -> tuple[Array, Array]:
@@ -85,10 +84,9 @@ def _sqk_scale_qk(q: Array, k: Array, sqk: Array, cfg: ViTConfig, out_dtype: Any
     ≙ reference model.py:108-112: ``sqk_eff = sqk · (init_value/init_scaling)``
     reshaped per-head; multiply happens in fp32 (sqk is fp32) then casts back
     to the attention compute dtype (reference's ``q.to(v.dtype)``).
-    q/k are [B, T, H, D].
     """
     sqk_eff = sqk * (SQK_INIT_VALUE / cfg.base_scale)
-    sqk_eff = sqk_eff.reshape(1, 1, cfg.n_head, cfg.head_dim)
+    sqk_eff = sqk_eff.reshape(1, cfg.n_head, 1, cfg.head_dim)
     q = (sqk_eff * justnorm(q).astype(jnp.float32)).astype(out_dtype)
     k = (sqk_eff * justnorm(k).astype(jnp.float32)).astype(out_dtype)
     return q, k

@@ -24,15 +24,14 @@ from jax import Array
 def sdpa_xla(q: Array, k: Array, v: Array, scale: float) -> Array:
     """Plain XLA scaled-dot-product attention.
 
-    q: [B, Tq, H, D]; k, v: [B, Tk, H, D] — head-minor layout so the reshape
-    from the [B, T, C] linear outputs is free.  Softmax in fp32 (flash-attn
-    and torch SDPA both accumulate softmax in fp32), output in v.dtype.
+    q: [B, H, Tq, D]; k, v: [B, H, Tk, D].  Softmax in fp32 (flash-attn and
+    torch SDPA both accumulate softmax in fp32), output in v.dtype.
     XLA fuses the scale/softmax chain; the matmuls hit the MXU.
     """
-    logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
     logits = logits.astype(jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
 
 
@@ -47,9 +46,9 @@ def _on_tpu() -> bool:
 def attention(q: Array, k: Array, v: Array, scale: float, *, use_flash: bool = False) -> Array:
     """Non-causal multi-head attention with a custom softmax scale.
 
-    q/k/v: [B, T, H, D].  ``use_flash`` (≙ reference config.flash_attn)
-    selects the Pallas fused kernel on TPU; falls back to the XLA path
-    elsewhere so the same config runs in CPU tests.
+    ``use_flash`` (≙ reference config.flash_attn) selects the Pallas fused
+    kernel on TPU; falls back to the XLA path elsewhere so the same config
+    runs in CPU tests.
     """
     if use_flash and _on_tpu():
         from nvit_tpu.ops.flash_attention import flash_attention

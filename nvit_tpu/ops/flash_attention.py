@@ -19,11 +19,8 @@ Design notes (shapes sized for this model family: T ≤ a few thousand):
   dk/dv kernel tiled over K, both recomputing P from the saved logsumexp.
 * Custom softmax scale: baseline 1/sqrt(d), nViT sqrt(d) (model.py:114-116).
 
-The public entry ``flash_attention(q, k, v, scale)`` takes **[B, T, H, D]**
-tensors — the layout the per-token linears produce with a free reshape, so no
-head-transpose copies ever hit HBM (the torch reference's [B,H,T,D] SDPA
-layout costs 8 transposes per block).  It is differentiable (custom VJP) and
-used via ops/attention.py when ``config.flash_attn=True``.
+The public entry ``flash_attention(q, k, v, scale)`` is differentiable
+(custom VJP) and used via ops/attention.py when ``config.flash_attn=True``.
 """
 
 from __future__ import annotations
@@ -53,8 +50,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_actual: 
     q_ref: [BLOCK_Q, D]; k_ref/v_ref: [T_pad, D]; o_ref: [BLOCK_Q, D];
     lse_ref: [BLOCK_Q, 1] (fp32).
     """
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
+    q = q_ref[0]
+    k = k_ref[0]
     t_pad = k.shape[0]
 
     s = jax.lax.dot_general(
@@ -70,58 +67,48 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_actual: 
     l = jnp.sum(p, axis=-1, keepdims=True)  # [BQ, 1]
 
     pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, :, 0, :], (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BQ, D]
-    o_ref[0, :, 0, :] = (pv / l).astype(o_ref.dtype)
-    lse_ref[0, :, 0, :] = m + jnp.log(l)
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
 
 
-def _qspec(d):
-    """Per-(batch, head, q-tile) block over a [B, T_pad, H, D] array."""
-    return pl.BlockSpec((1, BLOCK_Q, 1, d), lambda b, h, i: (b, i, h, 0), memory_space=pltpu.VMEM)
-
-
-def _kvspec(t_pad, d):
-    return pl.BlockSpec((1, t_pad, 1, d), lambda b, h, i: (b, 0, h, 0), memory_space=pltpu.VMEM)
-
-
-def _lspec():
-    return pl.BlockSpec((1, BLOCK_Q, 1, 1), lambda b, h, i: (b, i, h, 0), memory_space=pltpu.VMEM)
-
-
-def _lspec_full(t_pad):
-    return pl.BlockSpec((1, t_pad, 1, 1), lambda b, h, i: (b, 0, h, 0), memory_space=pltpu.VMEM)
-
-
-def _fwd(q4: Array, k4: Array, v4: Array, scale: float, t_actual: int):
-    """q4/k4/v4: [B, T_pad, H, D] → (o [B, T_pad, H, D], lse [B, T_pad, H, 1])."""
-    b, t_pad, h, d = q4.shape
-    grid = (b, h, t_pad // BLOCK_Q)
+def _fwd(q3: Array, k3: Array, v3: Array, scale: float, t_actual: int):
+    """q3/k3/v3: [BH, T_pad, D] → (o [BH, T_pad, D], lse [BH, T_pad, 1])."""
+    bh, t_pad, d = q3.shape
+    grid = (bh, t_pad // BLOCK_Q)
     kernel = functools.partial(_fwd_kernel, scale=scale, t_actual=t_actual)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[_qspec(d), _kvspec(t_pad, d), _kvspec(t_pad, d)],
-        out_specs=[_qspec(d), _lspec()],
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad, h, d), q4.dtype),
-            jax.ShapeDtypeStruct((b, t_pad, h, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t_pad * t_pad * d,
-            bytes_accessed=b * h * t_pad * d * 3 * q4.dtype.itemsize,
-            transcendentals=b * h * t_pad * t_pad,
+            flops=4 * bh * t_pad * t_pad * d,
+            bytes_accessed=bh * t_pad * d * 3 * q3.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
         ),
-    )(q4, k4, v4)
+    )(q3, k3, v3)
     return o, lse
 
 
 # ---------------------------------------------------------------------- bwd
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, t_actual):
     """dq tile: dq = (P ∘ (dO·Vᵀ − Δ)) · K · scale, P recomputed from lse."""
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
+    q = q_ref[0]
+    k = k_ref[0]
     t_pad = k.shape[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -129,81 +116,91 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale
     if t_actual < t_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, :, 0, :])  # [BQ, T_pad]
+    p = jnp.exp(s - lse_ref[0])  # [BQ, T_pad]
 
     dp = jax.lax.dot_general(
-        do_ref[0, :, 0, :], v_ref[0, :, 0, :], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, T_pad]
-    ds = p * (dp - delta_ref[0, :, 0, :])  # [BQ, T_pad] fp32
+    ds = p * (dp - delta_ref[0])  # [BQ, T_pad] fp32
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dq_ref[0, :, 0, :] = (dq * scale).astype(dq_ref.dtype)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, t_actual):
     """dk/dv tile over K: Pᵀ recomputed; padded QUERY columns zeroed."""
-    k = k_ref[0, :, 0, :]  # [BK, D]
-    q = q_ref[0, :, 0, :]  # [T_pad, D]
+    k = k_ref[0]  # [BK, D]
+    q = q_ref[0]  # [T_pad, D]
     t_pad = q.shape[0]
 
     st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     st = st * scale  # [BK, T_pad] = S^T
-    pt = jnp.exp(st - lse_ref[0, :, 0, :].reshape(1, t_pad))
+    pt = jnp.exp(st - lse_ref[0].reshape(1, t_pad))
     if t_actual < t_pad:  # zero padded query columns
         col = jax.lax.broadcasted_iota(jnp.int32, pt.shape, dimension=1)
         pt = jnp.where(col < t_actual, pt, 0.0)
 
-    do_ = do_ref[0, :, 0, :]
     dv = jax.lax.dot_general(
-        pt.astype(do_.dtype), do_, (((1,), (0,)), ((), ())),
+        pt.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BK, D]
-    dv_ref[0, :, 0, :] = dv.astype(dv_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
     dpt = jax.lax.dot_general(
-        v_ref[0, :, 0, :], do_, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        v_ref[0], do_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BK, T_pad]
-    dst = pt * (dpt - delta_ref[0, :, 0, :].reshape(1, t_pad))
+    dst = pt * (dpt - delta_ref[0].reshape(1, t_pad))
     dk = jax.lax.dot_general(
         dst.astype(q.dtype), q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dk_ref[0, :, 0, :] = (dk * scale).astype(dk_ref.dtype)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
 
 
 def _bwd(scale: float, t_actual: int, res, g):
-    q4, k4, v4, o4, lse = res
-    b, t_pad, h, d = q4.shape
-    g = g.astype(o4.dtype)
+    q3, k3, v3, o3, lse = res
+    bh, t_pad, d = q3.shape
+    g = g.astype(o3.dtype)
 
     # Δ_i = rowsum(dO ∘ O) — cheap elementwise reduce, fused by XLA
-    delta = jnp.sum(g.astype(jnp.float32) * o4.astype(jnp.float32), axis=-1, keepdims=True)
+    delta = jnp.sum(g.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
 
-    grid = (b, h, t_pad // BLOCK_Q)
+    grid_q = (bh, t_pad // BLOCK_Q)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, t_actual=t_actual),
-        grid=grid,
+        grid=grid_q,
         in_specs=[
-            _qspec(d), _kvspec(t_pad, d), _kvspec(t_pad, d), _qspec(d), _lspec(), _lspec(),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=_qspec(d),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, h, d), q4.dtype),
-    )(q4, k4, v4, g, lse, delta)
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+    )(q3, k3, v3, g, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, t_actual=t_actual),
-        grid=grid,
+        grid=grid_q,
         in_specs=[
-            _kvspec(t_pad, d), _qspec(d), _qspec(d), _kvspec(t_pad, d),
-            _lspec_full(t_pad), _lspec_full(t_pad),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[_qspec(d), _qspec(d)],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad, h, d), q4.dtype),
-            jax.ShapeDtypeStruct((b, t_pad, h, d), v4.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
         ],
-    )(q4, k4, v4, g, lse, delta)
+    )(q3, k3, v3, g, lse, delta)
     return dq, dk, dv
 
 
@@ -227,19 +224,17 @@ _flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 
 def flash_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
-    """Fused non-causal attention over **[B, T, H, D]** tensors (same T for q
-    and kv in this model); returns [B, T, H, D] in v.dtype.  The layout means
-    head split/merge around the kernel are free reshapes of the [B, T, C]
-    linear outputs — no transpose copies."""
-    b, t, h, d = q.shape
+    """Fused non-causal attention.  q/k/v: [B, H, T, D] (same T for q and kv
+    in this model); returns [B, H, T, D] in v.dtype."""
+    b, h, t, d = q.shape
     t_pad = _pad_len(t)
     dtype = v.dtype
 
     def prep(x):
-        x = x.astype(dtype)
+        x = x.astype(dtype).reshape(b * h, t, d)
         if t_pad != t:
-            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
         return x
 
     o = _flash_padded(prep(q), prep(k), prep(v), (float(scale), t))
-    return o[:, :t, :, :]
+    return o[:, :t, :].reshape(b, h, t, d)

@@ -12,11 +12,10 @@ from nvit_tpu.ops.flash_attention import flash_attention
 
 
 def rand_qkv(key, b=2, h=2, t=100, d=32, dtype=jnp.float32):
-    """[B, T, H, D] — the framework's head-minor attention layout."""
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(key), 3)
-    q = jax.random.normal(k1, (b, t, h, d), dtype)
-    k = jax.random.normal(k2, (b, t, h, d), dtype)
-    v = jax.random.normal(k3, (b, t, h, d), dtype)
+    q = jax.random.normal(k1, (b, h, t, d), dtype)
+    k = jax.random.normal(k2, (b, h, t, d), dtype)
+    v = jax.random.normal(k3, (b, h, t, d), dtype)
     return q, k, v
 
 

@@ -81,24 +81,23 @@ class TestPatch:
 
 class TestAttention:
     def test_softmax_rows_via_uniform_values(self):
-        # [B, T, H, D] head-minor layout
-        q = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 2, 8))
-        k = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 2, 8))
-        v = jnp.ones((1, 5, 2, 8))
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 5, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 5, 8))
+        v = jnp.ones((1, 2, 5, 8))
         out = sdpa_xla(q, k, v, 0.35)
         np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)  # convex comb of ones
 
     def test_matches_numpy_reference(self):
         rng = np.random.RandomState(0)
-        q = rng.randn(1, 4, 1, 8).astype(np.float32)
-        k = rng.randn(1, 6, 1, 8).astype(np.float32)
-        v = rng.randn(1, 6, 1, 8).astype(np.float32)
+        q = rng.randn(1, 1, 4, 8).astype(np.float32)
+        k = rng.randn(1, 1, 6, 8).astype(np.float32)
+        v = rng.randn(1, 1, 6, 8).astype(np.float32)
         scale = 2.83
-        logits = q[0, :, 0] @ k[0, :, 0].T * scale
+        logits = q[0, 0] @ k[0, 0].T * scale
         p = np.exp(logits - logits.max(-1, keepdims=True))
         p /= p.sum(-1, keepdims=True)
-        expected = p @ v[0, :, 0]
-        got = np.asarray(sdpa_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))[0, :, 0]
+        expected = p @ v[0, 0]
+        got = np.asarray(sdpa_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))[0, 0]
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
 
