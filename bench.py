@@ -46,7 +46,7 @@ def main() -> None:
     from nvit_tpu.models.vit import estimate_flops_per_iter, num_params
     from nvit_tpu.train import create_train_state, make_train_step
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     import dataclasses
