@@ -37,12 +37,31 @@ def space_to_depth(img: Array, patch: int) -> Array:
 
 
 def extract_overlapping_patches(img: Array, kernel: int, stride: int) -> Array:
-    """[B, C, H, W] → [B, T, C·k·k] overlapping patches (im2col).
+    """[B, C, H, W] → [B, T, C·k·k] overlapping patches.
 
-    Feature layout is channel-major (C, kh, kw), identical to a flattened
-    torch Conv2d weight, so ``patches @ w`` equals the reference conv.
+    For the k = 2·s case this model uses (global 16 / stride 8), each window
+    is exactly a 2×2 group of neighboring s×s space-to-depth blocks, so the
+    extraction is slices + one concat — no gather in the forward and no
+    scatter in the backward (XLA lowers the transpose of a slice to a pad).
+    The TPU-unfriendly im2col (`conv_general_dilated_patches`) is only the
+    general-case fallback.
+
+    Feature layout: 2×2 block-major, each block (C, s, s).  This is a fixed
+    permutation of the torch conv's (C, kh, kw) fan-in layout; training from
+    scratch, the two layouts are exactly equivalent up to a row permutation
+    of the embedding weight (models are identical as functions).
     """
     b = img.shape[0]
+    if kernel == 2 * stride:
+        x = space_to_depth(img, stride)  # [B, gh*gw, C·s·s]
+        gh = img.shape[2] // stride
+        gw = img.shape[3] // stride
+        x = x.reshape(b, gh, gw, -1)
+        g = jnp.concatenate(
+            [x[:, :-1, :-1], x[:, :-1, 1:], x[:, 1:, :-1], x[:, 1:, 1:]], axis=-1
+        )  # [B, gh-1, gw-1, 4·C·s·s]
+        return g.reshape(b, (gh - 1) * (gw - 1), -1)
+
     patches = lax.conv_general_dilated_patches(
         img,
         filter_shape=(kernel, kernel),
