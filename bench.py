@@ -56,6 +56,9 @@ def main() -> None:
     cfg = flagship_config(flash_attn=use_flash)
     if os.environ.get("NVIT_BENCH_REMAT", "1") == "0":
         cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat=False))
+    skip = int(os.environ.get("NVIT_BENCH_REMAT_SKIP", "0"))
+    if skip:
+        cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat_skip_blocks=skip))
     state = create_train_state(cfg)
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
 

@@ -155,6 +155,7 @@ class SystemConfig:
     use_amp: bool = True  # parity knob: False forces float32 compute
     use_tqdm: bool = True
     remat: bool = True  # jax.checkpoint the transformer blocks in training
+    remat_skip_blocks: int = 0  # exempt the last N blocks from remat (spends HBM for speed)
     profile_steps: int = 0  # capture a jax.profiler trace for the first N steps
     debug_nans: bool = False  # jax_debug_nans sanitizer
 

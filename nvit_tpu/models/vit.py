@@ -115,6 +115,7 @@ def vit_apply(
     train: bool = False,
     compute_dtype: Any = None,
     remat: bool = False,
+    remat_skip: int = 0,
 ) -> VitOutput:
     """Forward pass: img [B, C, H, W] → (logits [B, classes], aux_losses, som_info).
 
@@ -178,16 +179,21 @@ def vit_apply(
     # transformer trunk with the outer normalized skip (double residual,
     # ≙ model.py:450-452).  Under remat each block's activations are
     # recomputed in the backward pass (jax.checkpoint) — the standard TPU
-    # HBM/FLOPs trade; matmul outputs are kept via the dots policy.
+    # HBM/FLOPs trade.  ``remat_skip`` exempts the LAST n blocks: their saved
+    # activations have the shortest live range (end of fwd → start of bwd),
+    # so spending spare HBM there buys back recompute FLOPs cheapest.
     def _block(bp, h):
         return block_apply(bp, cfg, h, compute_dtype=dt)
 
-    if remat:
-        _block = jax.checkpoint(
-            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        )
-    for bp in params["blocks"]:
-        patches_new = _block(bp, patches)
+    _block_remat = (
+        jax.checkpoint(_block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        if remat
+        else _block
+    )
+    n_layer = len(params["blocks"])
+    for i, bp in enumerate(params["blocks"]):
+        f = _block if (remat and i >= n_layer - remat_skip) else _block_remat
+        patches_new = f(bp, patches)
         patches = norm_skip(patches_new, patches, bp["skip_param"])
 
     x = jnp.mean(patches, axis=1)

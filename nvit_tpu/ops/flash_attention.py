@@ -170,6 +170,71 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
 
 
+# Combined single-program backward (used when a whole [T, T] score tile fits
+# VMEM): ONE softmax recompute and 5 matmuls produce dq, dk and dv together —
+# the two-kernel FlashAttention-2 split recomputes the softmax twice and runs
+# 7 matmuls.  For this model family (T ≤ ~1k) this is the hot path.
+_FUSED_BWD_MAX_T = 1024
+
+
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, t_actual):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    t_pad = q.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    if t_actual < t_pad:  # mask padded KEY columns (as in fwd)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < t_actual, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])  # [Tq, Tk]
+    if t_actual < t_pad:  # zero padded QUERY rows (their lse is garbage)
+        row = jax.lax.broadcasted_iota(jnp.int32, p.shape, dimension=0)
+        p = jnp.where(row < t_actual, p, 0.0)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0])  # [Tq, Tk] fp32
+
+    pb = p.astype(do.dtype)
+    dsb = ds.astype(q.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dk_ref[0] = (
+        jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    ).astype(dk_ref.dtype)
+    dq_ref[0] = (
+        jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    ).astype(dq_ref.dtype)
+
+
+def _bwd_fused(scale: float, t_actual: int, q3, k3, v3, g, lse, delta):
+    bh, t_pad, d = q3.shape
+    full = pl.BlockSpec((1, t_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((1, t_pad, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, t_actual=t_actual),
+        grid=(bh,),
+        in_specs=[full, full, full, full, stat, stat],
+        out_specs=[full, full, full],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * t_pad * t_pad * d,
+            bytes_accessed=bh * t_pad * d * 7 * q3.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+    )(q3, k3, v3, g, lse, delta)
+
+
 def _bwd(scale: float, t_actual: int, res, g):
     q3, k3, v3, o3, lse = res
     bh, t_pad, d = q3.shape
@@ -177,6 +242,9 @@ def _bwd(scale: float, t_actual: int, res, g):
 
     # Δ_i = rowsum(dO ∘ O) — cheap elementwise reduce, fused by XLA
     delta = jnp.sum(g.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
+
+    if t_pad <= _FUSED_BWD_MAX_T:
+        return _bwd_fused(scale, t_actual, q3, k3, v3, g, lse, delta)
 
     BLOCK_Q = _pick_block_q(t_pad)
     grid_q = (bh, t_pad // BLOCK_Q)

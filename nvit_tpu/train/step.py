@@ -48,7 +48,8 @@ def make_loss_fn(cfg: Config):
 
     def loss_fn(params, images: Array, labels: Array, step: Array):
         out = vit_apply(
-            params, mcfg, images, step=step, train=True, compute_dtype=dt, remat=cfg.system.remat
+            params, mcfg, images, step=step, train=True, compute_dtype=dt,
+            remat=cfg.system.remat, remat_skip=cfg.system.remat_skip_blocks,
         )
         loss, terms = total_loss(
             mcfg,
