@@ -86,6 +86,12 @@ def load_checkpoint(out_dir: str | Path, name: str, template: TrainState) -> tup
             f"checkpoint has {len(leaves)} leaves but template has {len(t_leaves)} — "
             f"config mismatch? (checkpoint config: {meta['config']['model']})"
         )
+    for i, (a, t) in enumerate(zip(leaves, t_leaves)):
+        if tuple(a.shape) != tuple(t.shape):
+            raise ValueError(
+                f"checkpoint leaves mismatch template at index {i}: {a.shape} vs {t.shape} — "
+                f"config mismatch? (checkpoint config: {meta['config']['model']})"
+            )
     typed = [np.asarray(a, dtype=t.dtype) for a, t in zip(leaves, t_leaves)]
     state = jax.tree_util.tree_unflatten(treedef, typed)
     return state, meta
