@@ -182,17 +182,18 @@ def vit_apply(
         patches = _cross(params["cross_attention"], local, global_)
 
     # transformer trunk with the outer normalized skip (double residual,
-    # ≙ model.py:450-452), as a lax.scan over the stacked layer axis.  Under
-    # remat the scan body is jax.checkpoint'd — the standard TPU HBM/FLOPs
-    # trade.  ``remat_skip`` exempts the LAST n layers (their saved
-    # activations have the shortest live ranges) by splitting the scan.
+    # ≙ model.py:450-452).  Block params are STACKED [n_layer, ...] (so the
+    # optimizer/renorm sweeps stay a few large fused ops) but the loop is
+    # UNROLLED — a lax.scan trunk without remat forces every layer's
+    # residuals to materialize as stacked arrays (measured 33 GB vs 10 GB at
+    # flagship scale), whereas the unrolled graph lets XLA schedule/free them.
+    # Under remat each block is jax.checkpoint'd; ``remat_skip`` exempts the
+    # LAST n layers (their saved activations have the shortest live ranges).
     def body(h, bp):
         h_new = block_apply(bp, cfg, h, compute_dtype=dt)
-        # pin the carry dtype: baseline RMSNorm's fp32 weight promotes the
-        # stream, but under the compute policy the next block's linears would
-        # re-cast anyway (≙ torch autocast), and lax.scan needs a fixed carry
-        out = norm_skip(h_new, h, bp["skip_param"]).astype(h.dtype)
-        return out, None
+        # pin the stream dtype: baseline RMSNorm's fp32 weight would promote
+        # it (≙ torch autocast would re-cast at the next linear anyway)
+        return norm_skip(h_new, h, bp["skip_param"]).astype(h.dtype)
 
     body_remat = (
         jax.checkpoint(body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
@@ -202,11 +203,10 @@ def vit_apply(
     blocks = params["blocks"]
     n_layer = jax.tree_util.tree_leaves(blocks)[0].shape[0]
     skip = min(remat_skip, n_layer) if remat else 0
-    head_blocks = jax.tree_util.tree_map(lambda x: x[: n_layer - skip], blocks)
-    patches, _ = jax.lax.scan(body_remat, patches, head_blocks)
-    if skip:
-        tail_blocks = jax.tree_util.tree_map(lambda x: x[n_layer - skip :], blocks)
-        patches, _ = jax.lax.scan(body, patches, tail_blocks)
+    for i in range(n_layer):
+        bp = jax.tree_util.tree_map(lambda x: x[i], blocks)
+        f = body if i >= n_layer - skip else body_remat
+        patches = f(patches, bp)
 
     x = jnp.mean(patches, axis=1)
     logits = linear(params["head"], layer_norm(x, params["head_norm"]["w"], params["head_norm"]["b"]))
