@@ -71,14 +71,9 @@ def init_vit(key: Array, cfg: ViTConfig) -> Params:
         "reconstruction_head": init_linear(
             keys[3], d, cfg.local_patch_size * cfg.local_patch_size * cfg.channels, bias=True
         ),
-        # per-layer block params STACKED along a leading layer axis — the
-        # trunk is a lax.scan over it.  One stacked leaf per weight kind
-        # (instead of n_layer separate leaves) keeps the optimizer/renorm
-        # sweeps as a few large fused XLA ops and shrinks the HLO.
-        "blocks": jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs),
-            *[init_block(k, cfg) for k in jax.random.split(keys[4], cfg.n_layer)],
-        ),
+        "blocks": [
+            init_block(k, cfg) for k in jax.random.split(keys[4], cfg.n_layer)
+        ],
         # classification head: LayerNorm + Linear (≙ model.py:341-344)
         "head_norm": {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)},
         "head": init_linear(keys[5], d, cfg.num_classes, bias=True),
@@ -182,31 +177,24 @@ def vit_apply(
         patches = _cross(params["cross_attention"], local, global_)
 
     # transformer trunk with the outer normalized skip (double residual,
-    # ≙ model.py:450-452).  Block params are STACKED [n_layer, ...] (so the
-    # optimizer/renorm sweeps stay a few large fused ops) but the loop is
-    # UNROLLED — a lax.scan trunk without remat forces every layer's
-    # residuals to materialize as stacked arrays (measured 33 GB vs 10 GB at
-    # flagship scale), whereas the unrolled graph lets XLA schedule/free them.
-    # Under remat each block is jax.checkpoint'd; ``remat_skip`` exempts the
-    # LAST n layers (their saved activations have the shortest live ranges).
-    def body(h, bp):
-        h_new = block_apply(bp, cfg, h, compute_dtype=dt)
-        # pin the stream dtype: baseline RMSNorm's fp32 weight would promote
-        # it (≙ torch autocast would re-cast at the next linear anyway)
-        return norm_skip(h_new, h, bp["skip_param"]).astype(h.dtype)
+    # ≙ model.py:450-452).  Under remat each block's activations are
+    # recomputed in the backward pass (jax.checkpoint) — the standard TPU
+    # HBM/FLOPs trade.  ``remat_skip`` exempts the LAST n blocks: their saved
+    # activations have the shortest live range (end of fwd → start of bwd),
+    # so spending spare HBM there buys back recompute FLOPs cheapest.
+    def _block(bp, h):
+        return block_apply(bp, cfg, h, compute_dtype=dt)
 
-    body_remat = (
-        jax.checkpoint(body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    _block_remat = (
+        jax.checkpoint(_block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
         if remat
-        else body
+        else _block
     )
-    blocks = params["blocks"]
-    n_layer = jax.tree_util.tree_leaves(blocks)[0].shape[0]
-    skip = min(remat_skip, n_layer) if remat else 0
-    for i in range(n_layer):
-        bp = jax.tree_util.tree_map(lambda x: x[i], blocks)
-        f = body if i >= n_layer - skip else body_remat
-        patches = f(patches, bp)
+    n_layer = len(params["blocks"])
+    for i, bp in enumerate(params["blocks"]):
+        f = _block if (remat and i >= n_layer - remat_skip) else _block_remat
+        patches_new = f(bp, patches)
+        patches = norm_skip(patches_new, patches, bp["skip_param"])
 
     x = jnp.mean(patches, axis=1)
     logits = linear(params["head"], layer_norm(x, params["head_norm"]["w"], params["head_norm"]["b"]))

@@ -94,13 +94,12 @@ def hparams_str(params: dict, cfg: Config) -> str:
     base = cfg.model.base_scale
     sz_eff = np.mean(np.asarray(params["sz"])) * (cfg.model.sz_init_value / cfg.model.sz_init_scaling)
     parts = [f"{sz_eff:.5f} "]
-    blocks = params["blocks"]  # stacked [n_layer, ...]
-    sqk_m = np.asarray(blocks["sqk"]).mean(axis=1) * (SQK_INIT_VALUE / base)
-    aa_m = np.asarray(blocks["attn_alpha"]).mean(axis=1) * (ATTN_ALPHA_INIT_VALUE / base)
-    ma_m = np.asarray(blocks["mlp_alpha"]).mean(axis=1) * (MLP_ALPHA_INIT_VALUE / base)
-    suv_m = np.asarray(blocks["suv"]).mean(axis=1) * (SUV_INIT_VALUE / SUV_INIT_SCALING)
-    for i in range(len(sqk_m)):
-        parts.append(f"{sqk_m[i]:.5f} {aa_m[i]:.5f} {ma_m[i]:.5f} {suv_m[i]:.5f} ")
+    for bp in params["blocks"]:
+        sqk = np.mean(np.asarray(bp["sqk"])) * (SQK_INIT_VALUE / base)
+        attn_alpha = np.mean(np.asarray(bp["attn_alpha"])) * (ATTN_ALPHA_INIT_VALUE / base)
+        mlp_alpha = np.mean(np.asarray(bp["mlp_alpha"])) * (MLP_ALPHA_INIT_VALUE / base)
+        suv = np.mean(np.asarray(bp["suv"])) * (SUV_INIT_VALUE / SUV_INIT_SCALING)
+        parts.append(f"{sqk:.5f} {attn_alpha:.5f} {mlp_alpha:.5f} {suv:.5f} ")
     return "".join(parts)
 
 

@@ -47,15 +47,11 @@ def _justnorm_w(w: Array, axis: int) -> Array:
     return (w32 / norm).astype(w.dtype)
 
 
-def renorm_block(block_params: Params, *, stacked: bool = False) -> Params:
-    """``stacked=True`` for the [n_layer, ...] stacked-block layout used by
-    init_vit (norm axes shift right by the leading layer axis); one fused
-    sweep covers all layers at once."""
-    shift = 1 if stacked else 0
+def renorm_block(block_params: Params) -> Params:
     out = dict(block_params)
     for name, axis in RENORM_AXES.items():
         entry = dict(block_params[name])
-        entry["w"] = _justnorm_w(entry["w"], axis + shift)
+        entry["w"] = _justnorm_w(entry["w"], axis)
         out[name] = entry
     return out
 
@@ -63,5 +59,5 @@ def renorm_block(block_params: Params, *, stacked: bool = False) -> Params:
 def renorm_params(params: Params) -> Params:
     """Renormalize every transformer block's matrices (pure; jit-safe)."""
     out = dict(params)
-    out["blocks"] = renorm_block(params["blocks"], stacked=True)
+    out["blocks"] = [renorm_block(bp) for bp in params["blocks"]]
     return out

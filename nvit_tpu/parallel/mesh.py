@@ -96,11 +96,7 @@ def param_specs(params: Params, use_nvit: bool) -> Params:
         return jax.tree_util.tree_map(lambda _: P(), tree)
 
     specs = {k: replicate(v) for k, v in params.items() if k != "blocks"}
-    # blocks are stacked [n_layer, ...]: prepend an unsharded layer axis
-    block_spec = jax.tree_util.tree_map(
-        lambda spec: P(None, *spec), block_param_specs(use_nvit),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    block_spec = block_param_specs(use_nvit)
 
     def prune(spec_tree, param_tree):
         # drop spec entries for params that don't exist (e.g. no bias)
@@ -108,7 +104,7 @@ def param_specs(params: Params, use_nvit: bool) -> Params:
             return {k: prune(spec_tree[k], v) for k, v in param_tree.items()}
         return spec_tree
 
-    specs["blocks"] = prune(block_spec, params["blocks"])
+    specs["blocks"] = [prune(block_spec, bp) for bp in params["blocks"]]
     return specs
 
 

@@ -28,18 +28,8 @@ from nvit_tpu.models.schedules import cosine_lr
 
 
 def decay_mask(params: Any) -> Any:
-    """True for leaves that receive weight decay.
-
-    Rule ≙ reference (per-parameter dim ≥ 2 decays, model.py:373-382); the
-    transformer blocks are stored STACKED with a leading layer axis, so their
-    per-layer rule is ndim ≥ 3 (a stacked bias [L, d] is still a 1-D
-    parameter per layer).
-    """
-    masked = {}
-    for key, sub in params.items():
-        min_ndim = 3 if key == "blocks" else 2
-        masked[key] = jax.tree_util.tree_map(lambda p, m=min_ndim: p.ndim >= m, sub)
-    return masked
+    """True for leaves that receive weight decay (ndim ≥ 2)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
 
 
 def make_optimizer(opt_cfg: OptimizerConfig) -> optax.GradientTransformation:

@@ -60,8 +60,8 @@ def test_param_specs_cover_tree():
     specs = param_specs(state.params, use_nvit=True)
     # same tree structure
     jax.tree_util.tree_map(lambda p, s: None, state.params, specs, is_leaf=lambda x: isinstance(x, P))
-    assert specs["blocks"]["c_fc"]["w"] == P(None, None, "model")
-    assert specs["blocks"]["mlp_c_proj"]["w"] == P(None, "model", None)
+    assert specs["blocks"][0]["c_fc"]["w"] == P(None, "model")
+    assert specs["blocks"][0]["mlp_c_proj"]["w"] == P("model", None)
     assert specs["head"]["w"] == P()
 
 
@@ -95,8 +95,8 @@ def test_sharded_step_matches_single_device(model_parallel):
             a, b = a[k], b[k]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(new_state.params["blocks"]["c_fc"]["w"]),
-        np.asarray(ref_state.params["blocks"]["c_fc"]["w"]),
+        np.asarray(new_state.params["blocks"][0]["c_fc"]["w"]),
+        np.asarray(ref_state.params["blocks"][0]["c_fc"]["w"]),
         rtol=1e-4,
         atol=1e-6,
     )
@@ -130,5 +130,5 @@ def test_multi_step_training_sharded():
             state, metrics = step_fn(state, shard_batch(imgs, mesh), shard_batch(labels, mesh))
     assert int(state.step) == 3
     assert np.isfinite(float(metrics["total_loss"]))
-    w = np.asarray(state.params["blocks"]["query"]["w"], dtype=np.float32)
-    np.testing.assert_allclose(np.linalg.norm(w, axis=1), 1.0, rtol=1e-4)
+    w = np.asarray(state.params["blocks"][0]["query"]["w"], dtype=np.float32)
+    np.testing.assert_allclose(np.linalg.norm(w, axis=0), 1.0, rtol=1e-4)

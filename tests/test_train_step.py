@@ -55,10 +55,8 @@ class TestDecayMask:
         mask = decay_mask(state.params)
         assert mask["head"]["w"] is True
         assert mask["head"]["b"] is False
-        assert mask["blocks"]["sqk"] is False  # scale vectors (stacked [L,d]): no decay
-        assert mask["blocks"]["c_fc"]["w"] is True
-        assert mask["blocks"]["query"]["b"] is False  # stacked bias [L,d]: no decay
-        assert mask["blocks"]["skip_param"] is False
+        assert mask["blocks"][0]["sqk"] is False  # scale vectors: no decay
+        assert mask["blocks"][0]["c_fc"]["w"] is True
         if "sz" in mask:
             assert mask["sz"] is False  # ≙ reference sz no-decay group
 
@@ -70,10 +68,11 @@ class TestRenorm:
         # perturb then renorm
         params = jax.tree_util.tree_map(lambda p: p * 1.7 + 0.1, state.params)
         params = renorm_params(params)
-        for name, axis in RENORM_AXES.items():
-            w = np.asarray(params["blocks"][name]["w"], dtype=np.float32)  # [L, in, out]
-            norms = np.linalg.norm(w, axis=axis + 1)
-            np.testing.assert_allclose(norms, 1.0, rtol=1e-5, err_msg=name)
+        for bp in params["blocks"]:
+            for name, axis in RENORM_AXES.items():
+                w = np.asarray(bp[name]["w"], dtype=np.float32)
+                norms = np.linalg.norm(w, axis=axis)
+                np.testing.assert_allclose(norms, 1.0, rtol=1e-5, err_msg=name)
 
     def test_renorm_leaves_other_params(self):
         cfg = tiny_config()
@@ -105,9 +104,10 @@ class TestTrainStep:
         imgs, labels = batch(1, cfg)
         for _ in range(3):
             state, _ = step_fn(state, imgs, labels)
-        for name, axis in RENORM_AXES.items():
-            w = np.asarray(state.params["blocks"][name]["w"], dtype=np.float32)
-            np.testing.assert_allclose(np.linalg.norm(w, axis=axis + 1), 1.0, rtol=1e-4, err_msg=name)
+        for bp in state.params["blocks"]:
+            for name, axis in RENORM_AXES.items():
+                w = np.asarray(bp[name]["w"], dtype=np.float32)
+                np.testing.assert_allclose(np.linalg.norm(w, axis=axis), 1.0, rtol=1e-4, err_msg=name)
 
     def test_som_nodes_receive_hebbian_update(self):
         cfg = tiny_config(use_nvit=True, use_kohonen=True)
@@ -137,8 +137,9 @@ class TestTrainStep:
         # mean-based losses over different micro-batches, but loss terms
         # should be very close and params must stay finite and unit-normed.
         assert np.isfinite(float(m2["total_loss"]))
-        w = np.asarray(n2.params["blocks"]["query"]["w"], dtype=np.float32)
-        np.testing.assert_allclose(np.linalg.norm(w, axis=1), 1.0, rtol=1e-4)
+        for bp in n2.params["blocks"]:
+            w = np.asarray(bp["query"]["w"], dtype=np.float32)
+            np.testing.assert_allclose(np.linalg.norm(w, axis=0), 1.0, rtol=1e-4)
 
     def test_loss_decreases_overfit_tiny(self):
         """Integration: memorize an 8-image batch (loss must drop markedly)."""
