@@ -4,6 +4,7 @@
 # and a fresh training run is launched; runs are sequential and isolated.
 
 set -euo pipefail
+orig_pwd="$PWD"
 cd "$(dirname "$0")"
 
 profiles_dir="profiles"
@@ -13,6 +14,13 @@ while [[ $# -gt 0 ]]; do
         *) echo "Unknown argument: $1"; exit 1 ;;
     esac
 done
+
+# resolve a relative --profiles-dir against the caller's cwd, falling back to
+# the repo's own profiles/ when absent there
+case "$profiles_dir" in
+    /*) ;;
+    *) [ -d "$orig_pwd/$profiles_dir" ] && profiles_dir="$orig_pwd/$profiles_dir" ;;
+esac
 
 shopt -s nullglob
 env_files=("$profiles_dir"/*.env)
@@ -29,8 +37,9 @@ for env_file in "${env_files[@]}"; do
         [ -f .env ] && . ./.env
         . "$env_file"
         set +a
-        # per-profile output dir so sweeps don't clobber each other
-        export NVIT_DATA__OUT_DIR="${NVIT_DATA__OUT_DIR:-./out/$name}"
+        # per-profile output dir (relative to the caller's cwd) so sweeps
+        # don't clobber each other
+        export NVIT_DATA__OUT_DIR="${NVIT_DATA__OUT_DIR:-$orig_pwd/out/$name}"
         python -m nvit_tpu
     )
 done
