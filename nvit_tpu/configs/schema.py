@@ -196,11 +196,6 @@ class DataConfig:
 
 
 @dataclass(frozen=True)
-class ModelSettings(ViTConfig):
-    """The model section of the settings tree is exactly ViTConfig."""
-
-
-@dataclass(frozen=True)
 class Config:
     training: TrainingConfig = field(default_factory=TrainingConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
