@@ -53,7 +53,12 @@ def main() -> None:
     import os
 
     use_flash = os.environ.get("NVIT_BENCH_FLASH", "1") == "1"
-    cfg = flagship_config(flash_attn=use_flash)
+    overrides = {"flash_attn": use_flash}
+    if os.environ.get("NVIT_BENCH_KOHONEN", "0") == "1":
+        overrides.update(use_kohonen=True, kohonen_nodes=512)
+    cfg = flagship_config(**overrides)
+    # norms per hot step are eval-time metrics; keep the bench step lean
+    cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, log_gpu_stats=False))
     if os.environ.get("NVIT_BENCH_REMAT", "1") == "0":
         cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat=False))
     skip = int(os.environ.get("NVIT_BENCH_REMAT_SKIP", "0"))

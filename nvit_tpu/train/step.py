@@ -133,8 +133,12 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Array, Array], tuple[T
 
         metrics: Metrics = dict(terms)
         metrics["learning_rate"] = cosine_lr(cfg.optimizer, state.step)
-        metrics["grad_norm"] = global_norm(grads)
-        metrics["param_norm"] = global_norm(params)
+        if cfg.system.log_gpu_stats:
+            # ≙ reference: grad/param norms are EVAL-time metrics
+            # (train.py:749-751); computing them per hot step costs ~1 GB of
+            # fp32 reductions — gate on the stats knob
+            metrics["grad_norm"] = global_norm(grads)
+            metrics["param_norm"] = global_norm(params)
         return new_state, metrics
 
     return train_step

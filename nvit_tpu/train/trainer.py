@@ -238,7 +238,7 @@ class Trainer:
                             "train/mfu": mfu,
                             "optimizer/learning_rate": float(step_metrics["learning_rate"]),
                             **{f"train/{k}": float(v) for k, v in step_metrics.items()
-                               if k.endswith("_loss") or k in ("grad_norm", "param_norm")},
+                               if k.endswith("_loss") or k.endswith("_norm")},
                             **{f"system/{k}": v for k, v in memory_stats(cfg.system.log_memory).items()},
                         }
                         self.metrics_writer.log(train_metrics, step=self.iter_num)
