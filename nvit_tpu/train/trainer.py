@@ -227,6 +227,9 @@ class Trainer:
                         jax.profiler.stop_trace()
 
                     if self.iter_num % cfg.training.log_interval == 0:
+                        # ONE host transfer for all step metrics (scalar-by-
+                        # scalar fetches cost a device round-trip each)
+                        step_metrics = jax.device_get(step_metrics)
                         loss = float(step_metrics["total_loss"])  # sync point
                         dt, mfu = timer.tick()
                         dt /= cfg.training.log_interval
