@@ -17,7 +17,6 @@ TPU-native differences (SURVEY.md §7):
 
 from __future__ import annotations
 
-import math
 import signal
 import sys
 import time
@@ -30,12 +29,7 @@ import numpy as np
 
 from nvit_tpu.configs.loader import load_config
 from nvit_tpu.configs.schema import Config
-from nvit_tpu.ckpt.checkpoint import (
-    checkpoint_exists,
-    load_checkpoint,
-    restore_for_resume,
-    save_checkpoint,
-)
+from nvit_tpu.ckpt.checkpoint import restore_for_resume, save_checkpoint
 from nvit_tpu.data.augment import preprocess
 from nvit_tpu.data.datasets import load_dataset
 from nvit_tpu.data.pipeline import device_prefetch, make_epoch_iterator
