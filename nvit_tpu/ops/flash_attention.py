@@ -26,7 +26,6 @@ The public entry ``flash_attention(q, k, v, scale)`` is differentiable
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -61,6 +61,27 @@ def test_gradients_match_xla(t):
         )
 
 
+def test_long_sequence_two_kernel_backward():
+    """T > _FUSED_BWD_MAX_T exercises the split dq / dkv kernel path."""
+    q, k, v = rand_qkv(7, b=1, h=1, t=1100, d=16)
+    scale = 0.25
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(flash_attention(q, k, v, scale)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(sdpa_xla(q, k, v, scale)))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+            err_msg=f"grad d{name} mismatch (long-seq path)",
+        )
+
+
 def test_padding_does_not_leak():
     """T=100 pads to 128; results must be identical to an unpadded T=128 run
     restricted to the first 100 positions with the same content."""
