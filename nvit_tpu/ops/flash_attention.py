@@ -41,15 +41,16 @@ def _pad_len(t: int) -> int:
     return ((t + LANE - 1) // LANE) * LANE
 
 
-def _pick_block_q(t_pad: int) -> int:
-    """Largest 128-multiple divisor of t_pad ≤ 512.
+def _pick_block_q(t_pad: int, cap: int = 512) -> int:
+    """Largest 128-multiple divisor of t_pad ≤ cap.
 
     Per-program overhead (~2 µs) dominates at tiny tiles: at T=896 a 128-row
     tile means 2688 programs per call; a 448-row tile cuts that 3.5× while
     the fp32 [BQ, T] softmax scratch (448×896×4 B ≈ 1.6 MB) still fits VMEM
-    alongside K/V and the bwd temporaries."""
-    for cand in (512, 448, 384, 256, 128):
-        if t_pad % cand == 0:
+    alongside K/V and the bwd temporaries.  The forward kernel (one [BQ, T]
+    fp32 buffer live) can afford full-T tiles up to 1024."""
+    for cand in (1024, 896, 768, 640, 512, 448, 384, 256, 128):
+        if cand <= cap and t_pad % cand == 0:
             return cand
     return 128
 
@@ -88,7 +89,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_actual: 
 def _fwd(q3: Array, k3: Array, v3: Array, scale: float, t_actual: int):
     """q3/k3/v3: [BH, T_pad, D] → (o [BH, T_pad, D], lse [BH, T_pad, 1])."""
     bh, t_pad, d = q3.shape
-    BLOCK_Q = _pick_block_q(t_pad)
+    BLOCK_Q = _pick_block_q(t_pad, cap=1024)
     grid = (bh, t_pad // BLOCK_Q)
     kernel = functools.partial(_fwd_kernel, scale=scale, t_actual=t_actual)
     o, lse = pl.pallas_call(
