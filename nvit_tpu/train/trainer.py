@@ -82,9 +82,13 @@ class Trainer:
         init_from = cfg.training.init_from
         if init_from == "scratch":
             self.state = create_train_state(cfg)
-        elif init_from == "resume":
-            name = cfg.data.checkpoint_file.removesuffix(".npz")
-            state, saved_cfg, meta = restore_for_resume(cfg.data.checkpoint_dir, name)
+        elif init_from in ("resume", "wandb"):
+            if init_from == "wandb":
+                ckpt_dir, name = self._download_wandb_artifact(cfg.wandb.artifact_name)
+            else:
+                ckpt_dir = cfg.data.checkpoint_dir
+                name = cfg.data.checkpoint_file.removesuffix(".npz")
+            state, saved_cfg, meta = restore_for_resume(ckpt_dir, name)
             # current run settings win for training/optimizer; the MODEL comes
             # from the checkpoint (≙ reference model_args reconstruction)
             if saved_cfg.model != cfg.model:
@@ -115,6 +119,22 @@ class Trainer:
         self.logger.info("Model: %.2fM params | nvit=%s kohonen=%s | %s", n / 1e6,
                          cfg.model.use_nvit, cfg.model.use_kohonen, cfg.data.dataset)
         self._flops_per_iter = estimate_flops_per_iter(cfg.model, n) * cfg.training.batch_size
+
+    def _download_wandb_artifact(self, artifact_name: str) -> tuple[str, str]:
+        """init_from="wandb": download the checkpoint artifact and return its
+        (dir, checkpoint-name).  ≙ reference load_from_wandb (train.py:360-373)
+        — which also required online wandb; here the import itself is gated."""
+        if self.cfg.wandb.mode != "online":
+            raise ValueError("Wandb must be enabled and online to load from artifacts")
+        try:
+            import wandb  # type: ignore
+        except ImportError as e:
+            raise ValueError("init_from='wandb' requires the wandb package") from e
+        artifact = wandb.Api().artifact(artifact_name, type="model")
+        artifact_dir = artifact.download()
+        if not (Path(artifact_dir) / "checkpoint_best.npz").exists():
+            raise FileNotFoundError(f"Checkpoint not found in artifact: {artifact_dir}")
+        return artifact_dir, "checkpoint_best"
 
     # ------------------------------------------------------------------ data
     def _load_data(self):

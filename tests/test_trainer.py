@@ -164,3 +164,22 @@ class TestTrainerEndToEnd:
         t = Trainer(config=cfg)
         t.train()
         assert t.iter_num == 6
+
+
+def test_init_from_wandb_requires_online(tmp_path):
+    """init_from='wandb' errors clearly without online wandb (≙ train.py:362-363)."""
+    cfg = make_cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, init_from="wandb")
+    )
+    with pytest.raises(ValueError, match="online"):
+        Trainer(config=cfg)
+
+
+def test_init_from_invalid_raises(tmp_path):
+    cfg = make_cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, init_from="bogus")
+    )
+    with pytest.raises(ValueError, match="init_from"):
+        Trainer(config=cfg)
