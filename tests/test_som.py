@@ -125,3 +125,40 @@ def test_hebbian_delta_batched_input_shapes():
     d3 = som.hebbian_delta(nodes, K, x3, idx3, 0.1, 0.1)
     d2 = som.hebbian_delta(nodes, K, x3.reshape(10, 4), idx3.reshape(10), 0.1, 0.1)
     np.testing.assert_allclose(np.asarray(d3), np.asarray(d2), rtol=1e-5)
+
+
+def test_neighborhood_kernel_non_periodic():
+    spec = som.make_spec(2, 16, periodic=False)  # 4x4, no wrap
+    K = np.asarray(som.neighborhood_kernel(spec))
+    # corner (0,0) ↔ (0,3): distance 3 without wrap (vs 1 with wrap)
+    assert K[0, 3] == pytest.approx(np.exp(-9.0 / (2 * spec.sigma**2)))
+    # and strictly smaller than the adjacent-node affinity
+    assert K[0, 3] < K[0, 1]
+
+
+def test_sigma_override():
+    spec = som.make_spec(4, 16, sigma=1.0)
+    assert spec.sigma == 1.0
+    K = np.asarray(som.neighborhood_kernel(spec))
+    # tighter sigma → sharper neighborhood
+    wide = np.asarray(som.neighborhood_kernel(som.make_spec(4, 16)))
+    assert K[0, 1] < wide[0, 1]
+
+
+def test_som_self_organizes():
+    """Training property: after repeated Hebbian updates on clustered data,
+    nodes move toward the data and the quantization error drops."""
+    spec = som.make_spec(4, 16, alpha=0.5)
+    nodes = som.init_nodes(jax.random.PRNGKey(20), spec) * 5.0
+    K = som.neighborhood_kernel(spec)
+    data = jax.random.normal(jax.random.PRNGKey(21), (64, 4)) * 0.5 + 2.0
+
+    def qerror(nodes):
+        repr_, _ = som.bmu(nodes, data)
+        return float(jnp.mean(jnp.sum((repr_ - data) ** 2, axis=-1)))
+
+    e0 = qerror(nodes)
+    for _ in range(20):
+        _, idx = som.bmu(nodes, data)
+        nodes = nodes + som.hebbian_delta(nodes, K, data, idx, lr=0.1, alpha=spec.alpha)
+    assert qerror(nodes) < 0.5 * e0
