@@ -1,0 +1,192 @@
+"""Dataset readers: CIFAR-10/100, ImageNet (folder layout), synthetic.
+
+≙ reference train.py:256-358 (torchvision datasets + transforms).  The
+torchvision dependency is replaced by direct readers:
+
+* CIFAR-10/100: the standard python-pickle batch format
+  (``cifar-10-batches-py`` / ``cifar-100-python``) read straight into one
+  uint8 [N, 3, 32, 32] array — the whole dataset fits in host RAM, so the
+  "loader" is an index-shuffled view with zero per-item Python cost.
+* ImageNet: ``<root>/<split>/<wnid>/*.JPEG`` folder layout; decode happens
+  host-side in worker threads (PIL), resize/crop to ``image_size``.
+* synthetic: deterministic random tensors — for benchmarks, tests and
+  zero-egress environments (this container cannot download datasets; the
+  reference's ``download=master_process`` contract is replaced by a clear
+  error naming the expected on-disk layout).
+
+All images are returned CHW uint8 [0,255]; normalization/augmentation run on
+device (see data/augment.py) — host work is just IO + decode.
+"""
+
+from __future__ import annotations
+
+import pickle
+import tarfile
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclass
+class ArrayDataset:
+    """In-memory dataset: images uint8 [N, C, H, W], labels int32 [N]."""
+
+    images: np.ndarray
+    labels: np.ndarray
+    num_classes: int
+    name: str = "array"
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+def _cifar_unpickle(path: Path) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f, encoding="bytes")
+
+
+def _maybe_extract(root: Path, archive_name: str, member_dir: str) -> None:
+    archive = root / archive_name
+    if archive.exists() and not (root / member_dir).exists():
+        with tarfile.open(archive, "r:gz") as tf:
+            tf.extractall(root)
+
+
+def load_cifar(data_dir: str | Path, *, variant: str = "cifar10", train: bool = True) -> ArrayDataset:
+    """Load CIFAR-10/100 from the standard python batch format."""
+    root = Path(data_dir)
+    if variant == "cifar10":
+        _maybe_extract(root, "cifar-10-python.tar.gz", "cifar-10-batches-py")
+        base = root / "cifar-10-batches-py"
+        files = [base / f"data_batch_{i}" for i in range(1, 6)] if train else [base / "test_batch"]
+        label_key, num_classes = b"labels", 10
+    elif variant == "cifar100":
+        _maybe_extract(root, "cifar-100-python.tar.gz", "cifar-100-python")
+        base = root / "cifar-100-python"
+        files = [base / ("train" if train else "test")]
+        label_key, num_classes = b"fine_labels", 100
+    else:
+        raise ValueError(f"unknown CIFAR variant: {variant}")
+
+    if not base.exists():
+        raise FileNotFoundError(
+            f"{variant} not found under {root} (expected {base}). This environment "
+            f"cannot download datasets; place the standard python-format archive "
+            f"({base.name}) there, or use dataset='synthetic'."
+        )
+
+    imgs, labels = [], []
+    for f in files:
+        d = _cifar_unpickle(f)
+        imgs.append(d[b"data"].reshape(-1, 3, 32, 32))
+        labels.append(np.asarray(d[label_key], dtype=np.int32))
+    return ArrayDataset(
+        images=np.concatenate(imgs).astype(np.uint8),
+        labels=np.concatenate(labels),
+        num_classes=num_classes,
+        name=variant,
+    )
+
+
+@dataclass
+class ImageFolderDataset:
+    """Lazy JPEG-folder dataset (ImageNet layout): paths + labels; decode on
+    access.  ≙ torchvision.datasets.ImageNet (train.py:277-289)."""
+
+    paths: list[Path]
+    labels: np.ndarray
+    num_classes: int
+    image_size: int
+    name: str = "imagenet"
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def decode_batch(self, indices: np.ndarray) -> np.ndarray:
+        """Decode a batch → uint8 [n, 3, S, S] CHW.  Uses the native C++
+        threaded decoder (data/native.py) when available; per-image PIL
+        fallback otherwise (failed decodes fall back individually too)."""
+        try:
+            from nvit_tpu.data import native
+
+            if native.available():
+                paths = [self.paths[int(i)] for i in indices]
+                out, ok = native.decode_jpeg_batch(paths, self.image_size)
+                if not ok.all():
+                    for j in np.nonzero(~ok)[0]:
+                        out[j] = self.decode(int(indices[j]))
+                return out
+        except Exception:
+            pass
+        return np.stack([self.decode(int(i)) for i in indices])
+
+    def decode(self, idx: int) -> np.ndarray:
+        """Decode one image → uint8 CHW at image_size (resize-shorter + center crop)."""
+        from PIL import Image
+
+        with Image.open(self.paths[idx]) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            scale = self.image_size / min(w, h)
+            im = im.resize((max(self.image_size, round(w * scale)), max(self.image_size, round(h * scale))))
+            w, h = im.size
+            left, top = (w - self.image_size) // 2, (h - self.image_size) // 2
+            im = im.crop((left, top, left + self.image_size, top + self.image_size))
+            arr = np.asarray(im, dtype=np.uint8)
+        return arr.transpose(2, 0, 1)
+
+
+def load_imagenet(data_dir: str | Path, *, split: str = "train", image_size: int = 224) -> ImageFolderDataset:
+    root = Path(data_dir) / "imagenet" / split
+    if not root.exists():
+        raise FileNotFoundError(
+            f"ImageNet split not found at {root}; expected <data_dir>/imagenet/{split}/<wnid>/*.JPEG. "
+            f"This environment cannot download datasets; use dataset='synthetic' otherwise."
+        )
+    classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    paths: list[Path] = []
+    labels: list[int] = []
+    for c in classes:
+        for p in sorted((root / c).iterdir()):
+            paths.append(p)
+            labels.append(class_to_idx[c])
+    return ImageFolderDataset(
+        paths=paths,
+        labels=np.asarray(labels, dtype=np.int32),
+        num_classes=len(classes),
+        image_size=image_size,
+    )
+
+
+def make_synthetic(
+    *, num_examples: int = 2048, image_size: int = 32, num_classes: int = 100, seed: int = 0
+) -> ArrayDataset:
+    """Deterministic synthetic data with class-dependent structure so models
+    can overfit it (useful for integration tests and benchmarks)."""
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, num_classes, size=num_examples).astype(np.int32)
+    base = rng.randint(0, 255, size=(num_classes, 3, image_size, image_size))
+    noise = rng.randint(-30, 30, size=(num_examples, 3, image_size, image_size))
+    images = np.clip(base[labels] + noise, 0, 255).astype(np.uint8)
+    return ArrayDataset(images=images, labels=labels, num_classes=num_classes, name="synthetic")
+
+
+def load_dataset(
+    dataset: str, data_dir: str | Path, *, train: bool = True, image_size: int = 32, num_classes: int = 100
+):
+    """Dataset dispatch (≙ reference train.py:277-304 dataset selection)."""
+    d = dataset.lower()
+    if d in ("cifar10", "cifar100"):
+        return load_cifar(data_dir, variant=d, train=train)
+    if d == "imagenet":
+        return load_imagenet(data_dir, split="train" if train else "val", image_size=image_size)
+    if d == "synthetic":
+        return make_synthetic(
+            num_examples=4096 if train else 1024,
+            image_size=image_size,
+            num_classes=num_classes,
+            seed=0 if train else 1,
+        )
+    raise ValueError(f"Unknown dataset: {dataset}")
