@@ -241,7 +241,12 @@ def merge_dataclass(obj: Any, overrides: dict[str, Any]) -> Any:
         if key not in fields:
             raise KeyError(f"Unknown config key '{key}' for {type(obj).__name__}")
         current = getattr(obj, key)
-        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+        if dataclasses.is_dataclass(current):
+            if not isinstance(value, dict):
+                raise TypeError(
+                    f"Config section '{key}' expects nested keys "
+                    f"(e.g. {key.upper()}__SOMEKEY=...), got scalar {value!r}"
+                )
             changes[key] = merge_dataclass(current, value)
         else:
             changes[key] = _coerce(value, type(current))

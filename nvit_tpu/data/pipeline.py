@@ -149,7 +149,12 @@ def device_prefetch(
                         lock.wait()
                     q.append(dev)
                     lock.notify_all()
-        finally:
+        except BaseException as e:  # re-raised in the consumer — a corrupt
+            # shard must fail the epoch, not silently end it early
+            with lock:
+                q.append(_ProducerError(e))
+                lock.notify_all()
+        else:
             with lock:
                 q.append(done)
                 lock.notify_all()
@@ -164,4 +169,14 @@ def device_prefetch(
             lock.notify_all()
         if item is done:
             return
+        if isinstance(item, _ProducerError):
+            raise item.exc
         yield item
+
+
+class _ProducerError:
+    """Wraps an exception raised on the prefetch producer thread so the
+    consumer can re-raise it (instead of treating it as end-of-epoch)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

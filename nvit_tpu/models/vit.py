@@ -50,8 +50,14 @@ class VitOutput(NamedTuple):
 
 def kohonen_spec(cfg: ViTConfig) -> som.KohonenSpec:
     """Each of the two maps gets half the configured node budget
-    (≙ reference model.py:313-322: ``kohonen_nodes // 2`` per map)."""
-    return som.make_spec(cfg.n_embd, cfg.kohonen_nodes // 2, alpha=cfg.kohonen_alpha)
+    (≙ reference model.py:313-322: ``kohonen_nodes // 2`` per map).
+
+    When the Kohonen LR scheduler is enabled the map's base alpha is
+    ``kohonen_scheduler_min_lr`` — the scheduler output multiplies it, so the
+    effective Hebbian strength is sched(step)·min_lr (≙ model.py:313-322's
+    conditional constructor argument), NOT sched(step)·kohonen_alpha."""
+    alpha = cfg.kohonen_scheduler_min_lr if cfg.kohonen_scheduler_enabled else cfg.kohonen_alpha
+    return som.make_spec(cfg.n_embd, cfg.kohonen_nodes // 2, alpha=alpha)
 
 
 def init_vit(key: Array, cfg: ViTConfig) -> Params:

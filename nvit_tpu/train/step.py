@@ -83,6 +83,10 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Array, Array], tuple[T
             return grads, terms, som_info
 
         b = images.shape[0]
+        if b % accum != 0:  # shapes are static under jit → clear trace-time error
+            raise ValueError(
+                f"batch size {b} not divisible by gradient_accumulation_steps={accum}"
+            )
         micro = b // accum
         images = images.reshape(accum, micro, *images.shape[1:])
         labels = labels.reshape(accum, micro)

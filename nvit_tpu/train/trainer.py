@@ -17,6 +17,7 @@ TPU-native differences (SURVEY.md §7):
 
 from __future__ import annotations
 
+import dataclasses
 import signal
 import sys
 import time
@@ -72,6 +73,23 @@ class Trainer:
             jax.sharding.NamedSharding(self.mesh, batch_spec()) if self.mesh is not None else None
         )
 
+        # batch divisibility up front (≙ reference's grad-accum assertion,
+        # train.py:238) — clear errors instead of cryptic XLA reshape failures
+        accum = max(1, cfg.training.gradient_accumulation_steps)
+        if cfg.training.batch_size % accum != 0:
+            raise ValueError(
+                f"batch_size={cfg.training.batch_size} not divisible by "
+                f"gradient_accumulation_steps={accum}"
+            )
+        if self.mesh is not None:
+            data_shards = self.mesh.shape["data"]
+            micro = cfg.training.batch_size // accum
+            if micro % data_shards != 0:
+                raise ValueError(
+                    f"per-micro-batch size {micro} (batch_size/grad_accum) not divisible "
+                    f"by the mesh data axis ({data_shards} shards)"
+                )
+
         # --- model/optimizer init (≙ initialize_model, train.py:395-459) ----
         self.iter_num = 0
         self.finished = False
@@ -90,10 +108,12 @@ class Trainer:
                 name = cfg.data.checkpoint_file.removesuffix(".npz")
             state, saved_cfg, meta = restore_for_resume(ckpt_dir, name)
             # current run settings win for training/optimizer; the MODEL comes
-            # from the checkpoint (≙ reference model_args reconstruction)
+            # from the checkpoint (≙ reference model_args reconstruction,
+            # train.py:378-379: the model is rebuilt from stored model_args)
             if saved_cfg.model != cfg.model:
                 self.logger.warning("checkpoint model config differs from settings; using checkpoint's")
-                object.__setattr__(self, "cfg", cfg)
+                cfg = dataclasses.replace(cfg, model=saved_cfg.model)
+                self.cfg = cfg
             self.state = state
             self.iter_num = meta["iter_num"]
             self.logger.info("Resumed from iteration %d", self.iter_num)
@@ -285,14 +305,18 @@ class Trainer:
         out = {}
         for split, ds in (("train", self.trainset), ("val", self.valset)):
             losses = []
+            # rotate the sampled train batches by step (≙ the reference drawing
+            # FRESH loader batches each eval); val stays deterministic
+            epoch = self.iter_num if split == "train" else 0
             for k, (imgs_u8, labels) in enumerate(
-                self._epoch_iter(ds, epoch=0, shuffle=False, drop_last=False)
+                self._epoch_iter(ds, epoch=epoch, shuffle=(split == "train"), drop_last=False)
             ):
                 if k >= self.cfg.training.eval_iters:
                     break
                 m = self._eval_step(self.state.params, self._preprocess(imgs_u8, train=False), labels)
-                losses.append(float(m["loss"]))
-            out[split] = float(np.mean(losses)) if losses else float("nan")
+                losses.append(m["loss"])
+            # ONE host transfer for the whole split, not one per batch
+            out[split] = float(np.mean(jax.device_get(losses))) if losses else float("nan")
         return out
 
     def validate(self, *, quick: bool = False) -> dict[str, float]:
@@ -305,24 +329,29 @@ class Trainer:
         max_batches = None
         if quick and cfg.system.quick_validation:
             max_batches = max(1, cfg.system.quick_validation_size // cfg.training.batch_size)
-        sums: dict[str, float] = {}
-        n_batches = 0
+        keep = [("loss", "loss"), ("top1_accuracy", "top1_accuracy"), ("top5_accuracy", "top5_accuracy")]
+        if cfg.model.use_kohonen:
+            keep += [
+                ("kohonen_consistency", "consistency_loss"),
+                ("kohonen_smoothness", "smoothness_loss"),
+                ("local_quantization", "local_quantization_loss"),
+                ("global_quantization", "global_quantization_loss"),
+            ]
+        collected: list[dict[str, Any]] = []
         for imgs_u8, labels in self._epoch_iter(self.valset, epoch=0, shuffle=False, drop_last=False):
-            if max_batches is not None and n_batches >= max_batches:
+            if max_batches is not None and len(collected) >= max_batches:
                 break
             m = self._eval_step(self.state.params, self._preprocess(imgs_u8, train=False), labels)
-            for k in ("loss", "top1_accuracy", "top5_accuracy"):
-                sums[k] = sums.get(k, 0.0) + float(m[k])
-            if cfg.model.use_kohonen:
-                for src, dst in (
-                    ("kohonen_consistency", "consistency_loss"),
-                    ("kohonen_smoothness", "smoothness_loss"),
-                    ("local_quantization", "local_quantization_loss"),
-                    ("global_quantization", "global_quantization_loss"),
-                ):
-                    sums[dst] = sums.get(dst, 0.0) + float(m[src])
-            n_batches += 1
-        metrics = {f"val/{k}": v / max(n_batches, 1) for k, v in sums.items()}
+            collected.append({src: m[src] for src, _ in keep})
+        # ONE host transfer for the whole pass (device scalars are tiny; the
+        # per-batch float() round-trips were the eval bottleneck)
+        collected = jax.device_get(collected)
+        n_batches = max(len(collected), 1)
+        metrics = {
+            f"val/{dst}": float(sum(b[src] for b in collected)) / n_batches
+            for src, dst in keep
+            if collected
+        }
         return metrics
 
     def validate_only(self) -> dict[str, float]:
@@ -351,12 +380,22 @@ class Trainer:
         if self.metrics_writer is not None:
             self.metrics_writer.log(metrics, step=self.iter_num)
 
-        if self._should_stop_early(metrics["val/loss"]):
+        # strict improvement must be read BEFORE _should_stop_early updates it
+        val_loss = metrics["val/loss"]
+        improved = self.best_val_loss is None or val_loss < self.best_val_loss
+        if self._should_stop_early(val_loss):
             self.logger.info("Early stopping triggered!")
             self.mark_training_finished()
 
-        if cfg.training.always_save_checkpoint and self.iter_num > 0:
-            self.save(metrics)
+        if self.iter_num > 0:
+            if cfg.training.always_save_checkpoint:
+                self.save(metrics)
+            if improved:
+                # best is saved on improvement INDEPENDENT of
+                # always_save_checkpoint (≙ train.py:653-665), and ONLY here —
+                # never from cleanup/signal paths, so stale post-eval weights
+                # cannot overwrite it
+                self.save_best(metrics)
         return metrics
 
     def _should_stop_early(self, val_loss: float) -> bool:
@@ -372,17 +411,20 @@ class Trainer:
 
     # ------------------------------------------------------------ checkpoint
     def save(self, metrics: dict[str, float] | None = None) -> None:
-        """latest always; best on val-loss improvement (≙ train.py:629-709)."""
+        """checkpoint_latest (+ optional numbered) — ≙ train.py:629-654."""
         t0 = time.time()
         metrics = metrics or self.last_metrics
         save_checkpoint(self.out_dir, "checkpoint_latest", self.state, self.cfg, metrics)
         if self.cfg.training.save_numbered_checkpoints:
             save_checkpoint(self.out_dir, f"checkpoint_{self.iter_num:07d}", self.state, self.cfg, metrics)
-        val_loss = (metrics or {}).get("val/loss")
-        if val_loss is not None and val_loss <= (self.best_val_loss if self.best_val_loss is not None else float("inf")):
-            save_checkpoint(self.out_dir, "checkpoint_best", self.state, self.cfg, metrics)
-            self._maybe_log_artifact()
         self.logger.info("Checkpoint saving time: %.2f sec", time.time() - t0)
+
+    def save_best(self, metrics: dict[str, float]) -> None:
+        """checkpoint_best, written only on a fresh strict val-loss improvement
+        (≙ train.py:657-665).  Called exclusively from evaluate() so the saved
+        weights are exactly the ones that achieved the improvement."""
+        save_checkpoint(self.out_dir, "checkpoint_best", self.state, self.cfg, metrics)
+        self._maybe_log_artifact()
 
     def _maybe_log_artifact(self) -> None:
         """wandb artifact versioning with old-version deletion
@@ -434,7 +476,10 @@ class Trainer:
             pass  # not in main thread (tests)
 
     def cleanup(self) -> None:
-        """Final checkpoint + sink teardown (≙ train.py:153-177)."""
+        """Final checkpoint + sink teardown (≙ train.py:153-177).
+
+        Saves only checkpoint_latest — checkpoint_best belongs to evaluate()
+        (the weights here may have trained past the eval that earned 'best')."""
         try:
             if self.iter_num > 0:
                 self.save(self.last_metrics)

@@ -84,3 +84,13 @@ def test_config_to_dict():
     d = Config().to_dict()
     assert d["optimizer"]["scheduler"]["type"] == "cosine"
     assert dataclasses.is_dataclass(Config().model)
+
+
+def test_scalar_over_nested_section_raises():
+    """A scalar override on a dataclass-typed field must raise, not silently
+    replace the whole section with a string (found driving the CLI: a JSON
+    blob in NVIT_DATA__AUGMENTATION corrupted the config and crashed later)."""
+    import pytest
+
+    with pytest.raises(TypeError, match="nested keys"):
+        merge_dataclass(Config().data, {"augmentation": '{"enabled": false}'})

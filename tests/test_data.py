@@ -69,6 +69,20 @@ class TestPipeline:
         assert isinstance(out[0][0], jax.Array)
         np.testing.assert_array_equal(np.asarray(out[0][1]), ds.labels[:16])
 
+    def test_device_prefetch_reraises_producer_errors(self):
+        """A decode failure mid-epoch must surface, not look like a clean
+        end-of-epoch (round-1 advisor/VERDICT finding)."""
+
+        def broken_iter():
+            ds = make_synthetic(num_examples=32, image_size=8, num_classes=4)
+            yield ds.images[:16], ds.labels[:16]
+            raise RuntimeError("corrupt shard")
+
+        it = device_prefetch(broken_iter(), size=2)
+        next(it)  # first batch is fine
+        with pytest.raises(RuntimeError, match="corrupt shard"):
+            list(it)
+
 
 class TestNormalize:
     def test_range(self):

@@ -162,3 +162,16 @@ def test_som_self_organizes():
         _, idx = som.bmu(nodes, data)
         nodes = nodes + som.hebbian_delta(nodes, K, data, idx, lr=0.1, alpha=spec.alpha)
     assert qerror(nodes) < 0.5 * e0
+
+
+def test_kohonen_spec_alpha_honors_scheduler():
+    """≙ reference model.py:313-322: the map's base alpha is
+    scheduler_min_lr when the LR scheduler is enabled, so the effective
+    Hebbian strength is sched(step)·min_lr (advisor round-1 finding)."""
+    from nvit_tpu.configs.schema import ViTConfig
+    from nvit_tpu.models.vit import kohonen_spec
+
+    base = dict(kohonen_nodes=32, use_kohonen=True, kohonen_alpha=0.02,
+                kohonen_scheduler_min_lr=0.001)
+    assert kohonen_spec(ViTConfig(kohonen_scheduler_enabled=True, **base)).alpha == 0.001
+    assert kohonen_spec(ViTConfig(kohonen_scheduler_enabled=False, **base)).alpha == 0.02

@@ -127,6 +127,66 @@ class TestTrainerEndToEnd:
         t2.train()
         assert t2.iter_num == 10
 
+    def test_resume_with_changed_model_config_uses_checkpoints(self, tmp_path):
+        """Resuming under DIFFERENT model settings must adopt the checkpoint's
+        model config (≙ reference rebuilding from stored model_args,
+        train.py:378-379) — round-1 bug: the current config silently won and
+        the step was built for the wrong model shape."""
+        cfg = make_cfg(tmp_path)
+        t1 = Trainer(config=cfg)
+        t1.train()
+
+        changed_model = dataclasses.replace(cfg.model, n_layer=3, n_embd=64, n_head=4)
+        cfg2 = dataclasses.replace(
+            cfg,
+            model=changed_model,
+            training=dataclasses.replace(cfg.training, init_from="resume", max_iters=8),
+            data=dataclasses.replace(cfg.data, checkpoint_dir=str(tmp_path / "out")),
+        )
+        t2 = Trainer(config=cfg2)
+        # checkpoint's model config wins
+        assert t2.cfg.model.n_layer == 1 and t2.cfg.model.n_embd == 32
+        # and training actually runs with the restored params
+        t2.train()
+        assert t2.iter_num == 8
+
+    def test_best_checkpoint_saved_on_improvement_without_always_save(self, tmp_path):
+        """checkpoint_best is written on val-loss improvement even when
+        always_save_checkpoint=False (≙ train.py:653-665)."""
+        cfg = make_cfg(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, always_save_checkpoint=False)
+        )
+        t = Trainer(config=cfg)
+        t.train()
+        out = tmp_path / "out"
+        assert (out / "checkpoint_best.npz").exists()
+        # cleanup still writes latest
+        assert (out / "checkpoint_latest.npz").exists()
+
+    def test_cleanup_does_not_overwrite_best(self, tmp_path):
+        """cleanup()/signal paths save only checkpoint_latest — the best file
+        keeps the weights from the eval that earned it (advisor round-1)."""
+        cfg = make_cfg(tmp_path)
+        t = Trainer(config=cfg)
+        t._load_data()
+        t.metrics_writer = None
+        t.iter_num = 5
+        t.last_metrics = {"val/loss": 0.5}
+        t.best_val_loss = 0.1  # pretend an earlier eval was better
+        t.cleanup()
+        out = tmp_path / "out"
+        assert (out / "checkpoint_latest.npz").exists()
+        assert not (out / "checkpoint_best.npz").exists()
+
+    def test_batch_not_divisible_by_grad_accum_raises(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, gradient_accumulation_steps=3)
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            Trainer(config=cfg)
+
     def test_validate_only(self, tmp_path):
         cfg = make_cfg(tmp_path)
         Trainer(config=cfg).train()
