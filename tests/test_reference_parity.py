@@ -1,0 +1,331 @@
+"""Cross-framework golden parity vs the ACTUAL torch reference.
+
+Imports /root/reference/nvit/model.py on CPU torch (flash_attn stubbed — the
+SDPA path at model.py:121-124 needs no CUDA), maps the torch ``[out, in]``
+weights onto this repo's ``[in, out]`` JAX parameter trees, and asserts the
+forwards agree to fp32 tolerance.  This is the one check that can falsify the
+"capabilities match" claim (VERDICT round-1 #1).
+
+Coverage:
+* primitives: justnorm, RMSNorm                    (≙ model.py:43-44, 172-184)
+* Block nViT mode (+ norm_skip)                    (≙ model.py:47-169, 84-87)
+* CrossAttentionBlock, both modes                  (≙ model.py:187-275)
+* KohonenMap.forward (BMU repr + indices)          (≙ kohonen.py:100-119)
+* Kohonen LR schedule                              (≙ model.py:563-581)
+* FULL ViT forward, nvit1_k0 and nvit1_k1 profiles (≙ model.py:403-470)
+* total-loss composition                           (≙ train.py:906-926)
+* documented reference crash: pure-baseline Block  (≙ model.py:63-65 vs 95-96)
+
+The reference's buggy paths we deliberately fixed (baseline-Block RMSNorm,
+SOM update_nodes zip truncation, non-square smoothness grids) are parity-
+tested at the sub-module level or asserted-to-crash; see PARITY.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# flash_attn is CUDA-only and unused on the SDPA path; stub it before import.
+if "flash_attn" not in sys.modules:
+    stub = types.ModuleType("flash_attn")
+    stub.flash_attn_func = None
+    sys.modules["flash_attn"] = stub
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+ref_model = pytest.importorskip("nvit.model")
+ref_kohonen = pytest.importorskip("nvit.kohonen")
+
+import jax
+import jax.numpy as jnp
+
+from nvit_tpu.configs.schema import ViTConfig
+from nvit_tpu.core.norms import justnorm, rms_norm
+from nvit_tpu.core.residual import norm_skip
+from nvit_tpu.models.blocks import block_apply, cross_attention_apply
+from nvit_tpu.models.schedules import kohonen_lr
+from nvit_tpu.models.vit import total_loss, vit_apply
+from nvit_tpu.som import kohonen as som
+
+ATOL = 2e-5
+RTOL = 1e-5
+
+
+def tiny_cfgs(**kw):
+    """Matched (reference torch config, nvit_tpu config) pair."""
+    base = dict(
+        image_size=16, n_layer=2, n_head=2, n_embd=32, num_classes=10,
+        local_patch_size=4, global_patch_size=8, kohonen_nodes=32,
+        bias=False, flash_attn=False, dropout=0.0,
+    )
+    base.update(kw)
+    return ref_model.ViTConfig(**base), ViTConfig(**base)
+
+
+def t2j(t: torch.Tensor) -> jnp.ndarray:
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def map_linear(sd, prefix: str) -> dict:
+    p = {"w": t2j(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["b"] = t2j(sd[f"{prefix}.bias"])
+    return p
+
+
+def map_block(sd, prefix: str, use_nvit: bool) -> dict:
+    p = {
+        name: map_linear(sd, f"{prefix}.{name}")
+        for name in ("query", "key", "value", "att_c_proj", "c_fc", "mlp_c_proj")
+    }
+    p["skip_param"] = t2j(sd[f"{prefix}.skip_param"])
+    if use_nvit:
+        for name in ("attn_alpha", "mlp_alpha", "sqk", "suv"):
+            p[name] = t2j(sd[f"{prefix}.{name}"])
+    else:
+        # the reference never constructs these in baseline mode (its bug);
+        # callers that need a baseline block supply unit weights
+        p["rmsnorm_att"] = jnp.ones_like(p["query"]["w"][:, 0])
+        p["rmsnorm_mlp"] = jnp.ones_like(p["query"]["w"][:, 0])
+    return p
+
+
+def map_cross_attention(sd, prefix: str, use_nvit: bool) -> dict:
+    p = {
+        name: map_linear(sd, f"{prefix}.{name}")
+        for name in ("q_local", "k_global", "v_global", "proj", "out_proj")
+    }
+    if use_nvit:
+        p["attn_alpha"] = t2j(sd[f"{prefix}.attn_alpha"])
+        p["sqk"] = t2j(sd[f"{prefix}.sqk"])
+    else:
+        p["local_norm"] = t2j(sd[f"{prefix}.local_norm.weight"])
+        p["global_norm"] = t2j(sd[f"{prefix}.global_norm.weight"])
+    return p
+
+
+def global_embed_permutation(channels: int, kernel: int, stride: int) -> np.ndarray:
+    """Row permutation mapping a torch conv's flattened (C, kh, kw) fan-in onto
+    extract_overlapping_patches' 2×2-block-major (blk, C, ph, pw) layout
+    (models/patch.py:39-63).  perm[our_row] = torch_flat_index."""
+    s = stride
+    perm = np.empty(channels * kernel * kernel, dtype=np.int64)
+    for i in range(2):
+        for j in range(2):
+            blk = 2 * i + j
+            for c in range(channels):
+                for ph in range(s):
+                    for pw in range(s):
+                        our = ((blk * channels + c) * s + ph) * s + pw
+                        perm[our] = c * kernel * kernel + (i * s + ph) * kernel + (j * s + pw)
+    return perm
+
+
+def map_vit_params(model: "ref_model.ViT", cfg: ViTConfig) -> dict:
+    """Full torch ViT state_dict → nvit_tpu parameter tree."""
+    sd = model.state_dict()
+    d = cfg.n_embd
+
+    lw = t2j(sd["local_patch_embed.weight"])  # [d, C, p, p]; (C,kh,kw) == space_to_depth layout
+    local_embed = {"w": lw.reshape(d, -1).T, "b": t2j(sd["local_patch_embed.bias"])}
+
+    gw = t2j(sd["global_patch_embed.1.weight"]).reshape(d, -1)  # [d, C*k*k]
+    perm = global_embed_permutation(cfg.channels, cfg.global_patch_size, cfg.local_patch_size)
+    global_embed = {"w": gw[:, perm].T, "b": t2j(sd["global_patch_embed.1.bias"])}
+
+    params = {
+        "local_patch_embed": local_embed,
+        "global_patch_embed": global_embed,
+        "local_pos_embed": t2j(sd["local_pos_embed"]),
+        "global_pos_embed": t2j(sd["global_pos_embed"]),
+        "cross_attention": map_cross_attention(sd, "cross_attention", cfg.use_nvit),
+        "reconstruction_head": map_linear(sd, "reconstruction_head.0"),
+        "blocks": [
+            map_block(sd, f"transformer.h.{i}", cfg.use_nvit) for i in range(cfg.n_layer)
+        ],
+        "head_norm": {"w": t2j(sd["mlp_head.0.weight"]), "b": t2j(sd["mlp_head.0.bias"])},
+        "head": map_linear(sd, "mlp_head.1"),
+    }
+    if cfg.use_kohonen:
+        params["local_kohonen"] = {"nodes": t2j(sd["local_kohonen.nodes"])}
+        params["global_kohonen"] = {"nodes": t2j(sd["global_kohonen.nodes"])}
+        params["map_balance"] = t2j(sd["map_balance"])
+    if cfg.use_nvit:
+        params["sz"] = t2j(sd["sz"])
+    return params
+
+
+def rand_img(b=2, c=3, s=16, seed=0) -> np.ndarray:
+    return np.random.RandomState(seed).rand(b, c, s, s).astype(np.float32) * 2 - 1
+
+
+# --------------------------------------------------------------- primitives
+class TestPrimitives:
+    def test_justnorm(self):
+        x = np.random.RandomState(1).randn(4, 7).astype(np.float32)
+        ref = ref_model.justnorm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(justnorm(jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=RTOL)
+
+    def test_rmsnorm(self):
+        x = np.random.RandomState(2).randn(3, 5, 8).astype(np.float32)
+        m = ref_model.RMSNorm(8)
+        with torch.no_grad():
+            m.weight.mul_(1.7)
+        ref = m(torch.from_numpy(x)).detach().numpy()
+        ours = np.asarray(rms_norm(jnp.asarray(x), t2j(m.weight)))
+        np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=RTOL)
+
+
+# -------------------------------------------------------------------- blocks
+class TestBlocks:
+    def test_block_nvit_with_norm_skip(self):
+        rcfg, jcfg = tiny_cfgs(use_nvit=True)
+        torch.manual_seed(0)
+        blk = ref_model.Block(rcfg).eval()
+        # perturb the learned scales off their constant init
+        with torch.no_grad():
+            for p_ in (blk.sqk, blk.attn_alpha, blk.mlp_alpha, blk.suv, blk.skip_param):
+                p_.add_(0.01 * torch.randn_like(p_))
+        h = np.random.RandomState(3).randn(2, 9, 32).astype(np.float32)
+        ht = torch.from_numpy(h)
+        with torch.no_grad():
+            out_ref = blk(ht)
+            skip_ref = blk.norm_skip(out_ref, ht).numpy()
+            out_ref = out_ref.numpy()
+
+        p = map_block({f"b.{k}": v for k, v in blk.state_dict().items()}, "b", use_nvit=True)
+        out = block_apply(p, jcfg, jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(out), out_ref, atol=ATOL, rtol=RTOL)
+        skip = norm_skip(out, jnp.asarray(h), p["skip_param"])
+        np.testing.assert_allclose(np.asarray(skip), skip_ref, atol=ATOL, rtol=RTOL)
+
+    def test_reference_baseline_block_crashes(self):
+        """Documents the reference bug we fixed: baseline mode constructs no
+        RMSNorms (model.py:63-65) but calls them (model.py:95-96)."""
+        rcfg, _ = tiny_cfgs(use_nvit=False)
+        blk = ref_model.Block(rcfg).eval()
+        with pytest.raises(AttributeError, match="rmsnorm"):
+            with torch.no_grad():
+                blk(torch.zeros(1, 4, 32))
+
+    @pytest.mark.parametrize("use_nvit", [False, True])
+    def test_cross_attention_both_modes(self, use_nvit):
+        rcfg, jcfg = tiny_cfgs(use_nvit=use_nvit)
+        torch.manual_seed(1)
+        ca = ref_model.CrossAttentionBlock(rcfg).eval()
+        if use_nvit:
+            with torch.no_grad():
+                ca.sqk.add_(0.01 * torch.randn_like(ca.sqk))
+                ca.attn_alpha.add_(0.01 * torch.randn_like(ca.attn_alpha))
+        rs = np.random.RandomState(4)
+        local = rs.randn(2, 9, 32).astype(np.float32)
+        global_ = rs.randn(2, 9, 32).astype(np.float32)
+        with torch.no_grad():
+            ref = ca(torch.from_numpy(local), torch.from_numpy(global_)).numpy()
+        p = map_cross_attention(
+            {f"c.{k}": v for k, v in ca.state_dict().items()}, "c", use_nvit
+        )
+        ours = cross_attention_apply(p, jcfg, jnp.asarray(local), jnp.asarray(global_))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=ATOL, rtol=RTOL)
+
+
+# ----------------------------------------------------------------------- SOM
+class TestKohonen:
+    def test_bmu_forward_parity(self):
+        torch.manual_seed(2)
+        kmap = ref_kohonen.KohonenMap(8, 16, alpha=0.01).eval()
+        x = np.random.RandomState(5).randn(3, 7, 8).astype(np.float32)
+        with torch.no_grad():
+            repr_ref, idx_ref = kmap(torch.from_numpy(x))
+        nodes = t2j(kmap.nodes)
+        repr_ours, idx_ours = som.bmu(nodes, jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(idx_ours), idx_ref.numpy())
+        np.testing.assert_allclose(np.asarray(repr_ours), repr_ref.numpy(), atol=ATOL, rtol=RTOL)
+
+    def test_kohonen_lr_schedule_parity(self):
+        rcfg, jcfg = tiny_cfgs(
+            use_nvit=True, use_kohonen=True,
+            kohonen_alpha=0.02, kohonen_scheduler_enabled=True,
+            kohonen_scheduler_warmup_steps=10, kohonen_scheduler_decay_steps=100,
+            kohonen_scheduler_min_lr=0.001,
+        )
+        model = ref_model.ViT(rcfg)
+        for step in (0, 3, 10, 55, 100, 500):
+            np.testing.assert_allclose(
+                float(kohonen_lr(jcfg, step)), model.get_kohonen_lr(step), rtol=1e-6
+            )
+        # disabled → constant alpha
+        rcfg2, jcfg2 = tiny_cfgs(use_nvit=True, use_kohonen=True, kohonen_alpha=0.02)
+        model2 = ref_model.ViT(rcfg2)
+        np.testing.assert_allclose(
+            float(kohonen_lr(jcfg2, 1234)), model2.get_kohonen_lr(1234), rtol=1e-6
+        )
+
+
+# ------------------------------------------------------------------ full ViT
+def run_both(rcfg, jcfg, seed_model=0, seed_img=6):
+    torch.manual_seed(seed_model)
+    model = ref_model.ViT(rcfg).eval()
+    # move learned scales off their constant init so parity isn't vacuous
+    with torch.no_grad():
+        for name, p_ in model.named_parameters():
+            if p_.dim() < 2 and "kohonen" not in name:
+                p_.add_(0.01 * torch.randn_like(p_))
+    img = rand_img(seed=seed_img, s=rcfg.image_size)
+    with torch.no_grad():
+        logits_ref, aux_ref = model(torch.from_numpy(img))
+    params = map_vit_params(model, jcfg)
+    out = vit_apply(params, jcfg, jnp.asarray(img), step=0, train=False)
+    return model, (logits_ref.numpy(), {k: float(v) for k, v in aux_ref.items()}), out
+
+
+class TestFullViT:
+    def test_nvit_no_kohonen(self):
+        """nvit1_k0 profile: exact forward parity."""
+        rcfg, jcfg = tiny_cfgs(use_nvit=True, use_kohonen=False)
+        _, (logits_ref, aux_ref), out = run_both(rcfg, jcfg)
+        np.testing.assert_allclose(np.asarray(out.logits), logits_ref, atol=ATOL, rtol=RTOL)
+        np.testing.assert_allclose(
+            float(out.aux_losses["reconstruction"]), aux_ref["reconstruction"], atol=ATOL, rtol=RTOL
+        )
+
+    def test_nvit_kohonen(self):
+        """nvit1_k1 profile (eval mode — the reference mutates SOM nodes
+        in-forward when training): logits + ALL aux losses."""
+        rcfg, jcfg = tiny_cfgs(use_nvit=True, use_kohonen=True, kohonen_nodes=32)
+        _, (logits_ref, aux_ref), out = run_both(rcfg, jcfg, seed_model=1)
+        np.testing.assert_allclose(np.asarray(out.logits), logits_ref, atol=ATOL, rtol=RTOL)
+        for key in (
+            "kohonen_consistency", "kohonen_smoothness",
+            "local_quantization", "global_quantization", "reconstruction",
+        ):
+            np.testing.assert_allclose(
+                float(out.aux_losses[key]), aux_ref[key], atol=ATOL, rtol=RTOL, err_msg=key
+            )
+
+    def test_total_loss_composition(self):
+        """≙ train.py:906-926 loss weighting."""
+        rcfg, jcfg = tiny_cfgs(use_nvit=True, use_kohonen=True, kohonen_nodes=32)
+        _, (logits_ref, aux_ref), out = run_both(rcfg, jcfg, seed_model=2)
+        labels = np.array([3, 7])
+        cw, sw = 0.1, 0.1
+        ref_total = float(
+            torch.nn.functional.cross_entropy(
+                torch.from_numpy(logits_ref), torch.from_numpy(labels)
+            )
+        )
+        ref_total += cw * aux_ref["kohonen_consistency"] + sw * aux_ref["kohonen_smoothness"]
+        ref_total += rcfg.local_quantization_weight * aux_ref["local_quantization"]
+        ref_total += rcfg.global_quantization_weight * aux_ref["global_quantization"]
+        ref_total += rcfg.reconstruction_weight * aux_ref["reconstruction"]
+
+        ours, terms = total_loss(jcfg, cw, sw, out.logits, jnp.asarray(labels), out.aux_losses)
+        np.testing.assert_allclose(float(ours), ref_total, atol=1e-4, rtol=1e-5)
+        assert float(terms["total_loss"]) == float(ours)
