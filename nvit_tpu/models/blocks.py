@@ -28,9 +28,9 @@ from jax.ad_checkpoint import checkpoint_name
 
 from nvit_tpu.configs.schema import ViTConfig
 from nvit_tpu.core.layers import c_proj_std, init_linear, linear
-from nvit_tpu.core.norms import justnorm, rms_norm
+from nvit_tpu.core.norms import rms_norm
 from nvit_tpu.core.residual import slerp_residual
-from nvit_tpu.ops.attention import attention
+from nvit_tpu.ops.attention import attention, attention_qknorm
 
 Params = dict[str, Any]
 
@@ -78,18 +78,12 @@ def _merge_heads(x: Array) -> Array:
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
-def _sqk_scale_qk(q: Array, k: Array, sqk: Array, cfg: ViTConfig, out_dtype: Any) -> tuple[Array, Array]:
-    """Per-head L2-norm of Q/K scaled by the effective sqk vector.
-
-    ≙ reference model.py:108-112: ``sqk_eff = sqk · (init_value/init_scaling)``
-    reshaped per-head; multiply happens in fp32 (sqk is fp32) then casts back
-    to the attention compute dtype (reference's ``q.to(v.dtype)``).
-    """
-    sqk_eff = sqk * (SQK_INIT_VALUE / cfg.base_scale)
-    sqk_eff = sqk_eff.reshape(1, cfg.n_head, 1, cfg.head_dim)
-    q = (sqk_eff * justnorm(q).astype(jnp.float32)).astype(out_dtype)
-    k = (sqk_eff * justnorm(k).astype(jnp.float32)).astype(out_dtype)
-    return q, k
+def _sqk_eff(sqk: Array, cfg: ViTConfig) -> Array:
+    """Effective per-head sqk vector [H, D] (≙ reference model.py:108-110:
+    ``sqk · (init_value/init_scaling)`` reshaped per-head)."""
+    return (sqk.astype(jnp.float32) * (SQK_INIT_VALUE / cfg.base_scale)).reshape(
+        cfg.n_head, cfg.head_dim
+    )
 
 
 def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = None) -> Array:
@@ -107,12 +101,15 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
     k = _split_heads(linear(p["key"], x, compute_dtype=dt), cfg.n_head)
     v = _split_heads(linear(p["value"], x, compute_dtype=dt), cfg.n_head)
 
-    if cfg.use_nvit:
-        q, k = _sqk_scale_qk(q, k, p["sqk"], cfg, v.dtype)
-
     sqrt_hd = math.sqrt(cfg.head_dim)
-    scale = sqrt_hd if cfg.use_nvit else 1.0 / sqrt_hd
-    att = attention(q, k, v, scale, use_flash=cfg.flash_attn)
+    if cfg.use_nvit:
+        # per-head QK hypersphere projection fused into the attention call
+        # (Pallas kernel on the flash path; XLA chain otherwise)
+        att = attention_qknorm(
+            q, k, v, _sqk_eff(p["sqk"], cfg), sqrt_hd, use_flash=cfg.flash_attn
+        )
+    else:
+        att = attention(q, k, v, 1.0 / sqrt_hd, use_flash=cfg.flash_attn)
     # named so the remat policy can SAVE attention outputs — backward then
     # recomputes only the cheap elementwise/linear parts, not the kernel
     att = checkpoint_name(att, "attn_out")
@@ -179,12 +176,13 @@ def cross_attention_apply(
     k = _split_heads(linear(p["k_global"], global_, compute_dtype=dt), cfg.n_head)
     v = _split_heads(linear(p["v_global"], global_, compute_dtype=dt), cfg.n_head)
 
-    if cfg.use_nvit:
-        q, k = _sqk_scale_qk(q, k, p["sqk"], cfg, v.dtype)
-
     sqrt_hd = math.sqrt(cfg.head_dim)
-    scale = sqrt_hd if cfg.use_nvit else 1.0 / sqrt_hd
-    att = attention(q, k, v, scale, use_flash=cfg.flash_attn)
+    if cfg.use_nvit:
+        att = attention_qknorm(
+            q, k, v, _sqk_eff(p["sqk"], cfg), sqrt_hd, use_flash=cfg.flash_attn
+        )
+    else:
+        att = attention(q, k, v, 1.0 / sqrt_hd, use_flash=cfg.flash_attn)
 
     out = linear(p["proj"], _merge_heads(att), compute_dtype=dt)
     u, v_gate = jnp.split(out, 2, axis=-1)

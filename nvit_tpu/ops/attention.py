@@ -55,3 +55,36 @@ def attention(q: Array, k: Array, v: Array, scale: float, *, use_flash: bool = F
 
         return flash_attention(q, k, v, scale)
     return sdpa_xla(q, k, v, scale)
+
+
+def qknorm_project_xla(q: Array, k: Array, sqk_eff: Array, out_dtype) -> tuple[Array, Array]:
+    """XLA reference of the nViT per-head Q/K projection: ``s ⊙ justnorm(x)``.
+
+    ≙ reference model.py:108-112 with its exact rounding order: normalize in
+    fp32, round back to the input dtype, multiply by the fp32 sqk vector,
+    cast to the attention compute dtype."""
+    from nvit_tpu.core.norms import justnorm
+
+    h, d = sqk_eff.shape
+    s_bc = sqk_eff.astype(jnp.float32).reshape(1, h, 1, d)
+    q = (s_bc * justnorm(q).astype(jnp.float32)).astype(out_dtype)
+    k = (s_bc * justnorm(k).astype(jnp.float32)).astype(out_dtype)
+    return q, k
+
+
+def attention_qknorm(
+    q: Array, k: Array, v: Array, sqk_eff: Array, scale: float, *, use_flash: bool = False
+) -> Array:
+    """nViT attention with the per-head hypersphere projection of Q/K.
+
+    On the TPU flash path the projection is FUSED into the Pallas kernels
+    (no separate [B,H,T,D] HBM round-trip — ≙ what flash-attn gives the
+    reference adjacent to its kernel, model.py:108-116).  ``sqk_eff``:
+    [H, D] fp32 effective scale (``sqk · init_value/init_scaling``).
+    """
+    if use_flash and _on_tpu():
+        from nvit_tpu.ops.flash_attention import flash_attention_qknorm
+
+        return flash_attention_qknorm(q, k, v, sqk_eff, scale)
+    qh, kh = qknorm_project_xla(q, k, sqk_eff, v.dtype)
+    return sdpa_xla(qh, kh, v, scale)

@@ -320,3 +320,217 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
 
     o = _flash_padded(prep(q), prep(k), prep(v), (float(scale), t))
     return o[:, :t, :].reshape(b, h, t, d)
+
+
+# ----------------------------------------------- fused QK-norm (nViT) variant
+# Folds the nViT per-head Q/K hypersphere projection into the attention
+# kernels: q̂ = s ⊙ q/‖q‖, k̂ = s ⊙ k/‖k‖ (s = effective sqk vector, fp32) are
+# computed in VMEM instead of a separate XLA elementwise chain — saving two
+# full [B,H,T,D] HBM round-trips per direction (measured ~6 ms/step on
+# nViT-B/16, CLAUDE.md roadmap #1).  ≙ reference model.py:108-116, where
+# flash-attn gets the already-scaled q/k adjacent to the kernel.
+_NORM_EPS = 1e-30  # guards padded all-zero rows; exact elsewhere
+
+
+def _normed_scaled(x, s):
+    """fp32 (x/‖x‖, ‖x‖) with s-scaling: returns (x̂ fp32, xn fp32, ‖x‖ fp32)."""
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    norm = jnp.maximum(norm, _NORM_EPS)
+    xn = x32 / norm
+    return s * xn, xn, norm
+
+
+def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_actual):
+    q = q_ref[0]
+    k = k_ref[0]
+    s_vec = s_ref[0]  # [1, D] fp32
+    t_pad = k.shape[0]
+
+    qhat, _, _ = _normed_scaled(q, s_vec)
+    khat, _, _ = _normed_scaled(k, s_vec)
+    qhat = qhat.astype(v_ref.dtype)
+    khat = khat.astype(v_ref.dtype)
+
+    s = jax.lax.dot_general(
+        qhat, khat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    if t_actual < t_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < t_actual, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _fwd_qknorm(q3, k3, v3, s3, scale: float, t_actual: int):
+    bh, t_pad, d = q3.shape
+    BLOCK_Q = _pick_block_q(t_pad, cap=1024)
+    grid = (bh, t_pad // BLOCK_Q)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_qknorm_kernel, scale=scale, t_actual=t_actual),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * d,
+            bytes_accessed=bh * t_pad * d * 3 * q3.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+    )(q3, k3, v3, s3)
+    return o, lse
+
+
+def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, delta_ref,
+                             dq_ref, dk_ref, dv_ref, ds_ref, *, scale, t_actual):
+    """Single-program backward with the QK-norm projection math.
+
+    Emits raw-input grads: dq = (I − qn qnᵀ)/‖q‖ · (s ⊙ dq̂)  (justnorm VJP),
+    likewise dk, plus the per-program sqk grad Σ_t (dq̂⊙qn + dk̂⊙kn)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s_vec = s_ref[0]  # [1, D] fp32
+    t_pad = q.shape[0]
+
+    qhat32, qn, qnorm = _normed_scaled(q, s_vec)
+    khat32, kn, knorm = _normed_scaled(k, s_vec)
+    qhat = qhat32.astype(v.dtype)
+    khat = khat32.astype(v.dtype)
+
+    s = jax.lax.dot_general(qhat, khat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    if t_actual < t_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < t_actual, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])
+    if t_actual < t_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, p.shape, dimension=0)
+        p = jnp.where(row < t_actual, p, 0.0)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0])
+
+    pb = p.astype(do.dtype)
+    dsb = ds.astype(q.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dkhat = (
+        jax.lax.dot_general(dsb, qhat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    )  # [Tk, D] fp32
+    dqhat = (
+        jax.lax.dot_general(dsb, khat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    )  # [Tq, D] fp32
+
+    # sqk grad: q̂ = s ⊙ qn ⇒ ∂L/∂s = Σ_t (dq̂ ⊙ qn + dk̂ ⊙ kn)
+    ds_ref[0] = jnp.sum(dqhat * qn + dkhat * kn, axis=0, keepdims=True)
+
+    # justnorm VJP back to the raw projections
+    dqn = s_vec * dqhat
+    dq = (dqn - qn * jnp.sum(qn * dqn, axis=-1, keepdims=True)) / qnorm
+    dkn = s_vec * dkhat
+    dk = (dkn - kn * jnp.sum(kn * dkn, axis=-1, keepdims=True)) / knorm
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+
+
+def _bwd_qknorm(static, res, g):
+    scale, t_actual = static
+    q3, k3, v3, s3, o3, lse = res
+    bh, t_pad, d = q3.shape
+    g = g.astype(o3.dtype)
+    delta = jnp.sum(g.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
+
+    full = pl.BlockSpec((1, t_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((1, t_pad, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    svec = pl.BlockSpec((1, 1, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv, ds3 = pl.pallas_call(
+        functools.partial(_bwd_fused_qknorm_kernel, scale=scale, t_actual=t_actual),
+        grid=(bh,),
+        in_specs=[full, full, full, svec, full, stat, stat],
+        out_specs=[full, full, full, svec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
+            jax.ShapeDtypeStruct((bh, 1, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * t_pad * t_pad * d,
+            bytes_accessed=bh * t_pad * d * 7 * q3.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+    )(q3, k3, v3, s3, g, lse, delta)
+    return dq, dk, dv, ds3
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_qknorm_padded(q3, k3, v3, s3, static):
+    o, _ = _fwd_qknorm(q3, k3, v3, s3, *static)
+    return o
+
+
+def _flash_qknorm_padded_fwd(q3, k3, v3, s3, static):
+    o, lse = _fwd_qknorm(q3, k3, v3, s3, *static)
+    return o, (q3, k3, v3, s3, o, lse)
+
+
+_flash_qknorm_padded.defvjp(_flash_qknorm_padded_fwd, _bwd_qknorm)
+
+
+def flash_attention_qknorm(q: Array, k: Array, v: Array, sqk_eff: Array, scale: float) -> Array:
+    """Fused nViT attention: per-head L2-norm + sqk scaling of Q/K inside the
+    kernel.  q/k/v: [B, H, T, D]; sqk_eff: [H, D] fp32 (the effective vector
+    ``sqk · init_value/init_scaling``).  Differentiable in q, k, v AND sqk_eff.
+
+    Long sequences (t_pad > fused-backward limit) fall back to the XLA
+    projection + the plain flash kernels."""
+    b, h, t, d = q.shape
+    t_pad = _pad_len(t)
+    dtype = v.dtype
+
+    if t_pad > _FUSED_BWD_MAX_T:
+        s_bc = sqk_eff.reshape(1, h, 1, d)
+        qh = (s_bc * (q.astype(jnp.float32) / jnp.maximum(
+            jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), _NORM_EPS
+        ))).astype(dtype)
+        kh = (s_bc * (k.astype(jnp.float32) / jnp.maximum(
+            jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), _NORM_EPS
+        ))).astype(dtype)
+        return flash_attention(qh, kh, v, scale)
+
+    def prep(x):
+        x = x.astype(dtype).reshape(b * h, t, d)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    s3 = jnp.broadcast_to(
+        sqk_eff.astype(jnp.float32).reshape(1, h, 1, d), (b, h, 1, d)
+    ).reshape(b * h, 1, d)
+    o = _flash_qknorm_padded(prep(q), prep(k), prep(v), s3, (float(scale), t))
+    return o[:, :t, :].reshape(b, h, t, d)

@@ -191,3 +191,88 @@ class TestLosses:
         top1, top5 = L.topk_accuracy(logits, labels)
         assert float(top1) == pytest.approx(75.0)
         assert float(top5) >= 75.0
+
+
+class TestResidualCustomVJP:
+    """The analytic custom VJPs of slerp_residual / norm_skip must match the
+    autodiff of the composed primitives (value bit-exact, grads to rounding)."""
+
+    @staticmethod
+    def _slerp_composed(h, upd, alpha, iv=0.05, isc=0.03125):
+        lr = jnp.abs(alpha.astype(jnp.float32) * (iv / isc))
+        a = justnorm(h)
+        b = justnorm(upd)
+        return justnorm(a + lr.astype(a.dtype) * (b - a))
+
+    def test_slerp_value_and_grads_match_autodiff(self):
+        rs = np.random.RandomState(11)
+        h = jnp.asarray(rs.randn(4, 6, 8).astype(np.float32))
+        upd = jnp.asarray(rs.randn(4, 6, 8).astype(np.float32))
+        alpha = jnp.asarray(0.03125 + 0.01 * rs.randn(8).astype(np.float32))
+
+        np.testing.assert_array_equal(
+            np.asarray(slerp_residual(h, upd, alpha, 0.05, 0.03125)),
+            np.asarray(self._slerp_composed(h, upd, alpha)),
+        )
+
+        def loss_custom(h, upd, alpha):
+            return jnp.sum(jnp.sin(slerp_residual(h, upd, alpha, 0.05, 0.03125)))
+
+        def loss_ref(h, upd, alpha):
+            return jnp.sum(jnp.sin(self._slerp_composed(h, upd, alpha)))
+
+        gc = jax.grad(loss_custom, argnums=(0, 1, 2))(h, upd, alpha)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(h, upd, alpha)
+        for name, a, b in zip(("h", "h_update", "alpha"), gc, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"slerp grad d{name}",
+            )
+
+    def test_slerp_negative_alpha_grad(self):
+        """|α·c| kinks at 0 — sign handling must match autodiff for α<0."""
+        rs = np.random.RandomState(12)
+        h = jnp.asarray(rs.randn(2, 3, 8).astype(np.float32))
+        upd = jnp.asarray(rs.randn(2, 3, 8).astype(np.float32))
+        alpha = jnp.asarray(-0.03 + 0.01 * rs.randn(8).astype(np.float32))
+
+        gc = jax.grad(lambda a: jnp.sum(slerp_residual(h, upd, a, 0.05, 0.03125)))(alpha)
+        gr = jax.grad(lambda a: jnp.sum(self._slerp_composed(h, upd, a)))(alpha)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gr), rtol=1e-5, atol=1e-6)
+
+    def test_norm_skip_value_and_grads_match_autodiff(self):
+        rs = np.random.RandomState(13)
+        h_new = jnp.asarray(rs.randn(4, 6, 8).astype(np.float32))
+        h = jnp.asarray(rs.randn(4, 6, 8).astype(np.float32))
+        skip = jnp.asarray(np.array([1.1], dtype=np.float32))
+
+        def composed(h_new, h, skip):
+            return justnorm(h_new * skip.astype(h_new.dtype) + h)
+
+        np.testing.assert_array_equal(
+            np.asarray(norm_skip(h_new, h, skip)), np.asarray(composed(h_new, h, skip))
+        )
+
+        def loss_custom(h_new, h, skip):
+            return jnp.sum(jnp.cos(norm_skip(h_new, h, skip)))
+
+        def loss_ref(h_new, h, skip):
+            return jnp.sum(jnp.cos(composed(h_new, h, skip)))
+
+        gc = jax.grad(loss_custom, argnums=(0, 1, 2))(h_new, h, skip)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(h_new, h, skip)
+        for name, a, b in zip(("h_new", "h", "skip"), gc, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"norm_skip grad d{name}",
+            )
+
+    def test_bf16_values_match_composed(self):
+        rs = np.random.RandomState(14)
+        h = jnp.asarray(rs.randn(2, 4, 8), jnp.bfloat16)
+        upd = jnp.asarray(rs.randn(2, 4, 8), jnp.bfloat16)
+        alpha = jnp.asarray(0.03125 * np.ones(8, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(slerp_residual(h, upd, alpha, 0.05, 0.03125), np.float32),
+            np.asarray(self._slerp_composed(h, upd, alpha), np.float32),
+        )

@@ -122,3 +122,106 @@ def test_block_apply_uses_flash_when_enabled():
     finally:
         att._on_tpu = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+# -------------------------------------------- fused QK-norm (nViT) variant
+class TestQKNormFused:
+    """flash_attention_qknorm folds the per-head justnorm+sqk projection into
+    the kernels (≙ reference model.py:108-116 adjacency); must match the XLA
+    projection + attention chain in value AND in all four gradients."""
+
+    @staticmethod
+    def _setup(t=100, b=2, h=2, d=32, seed=10, dtype=jnp.float32):
+        q, k, v = rand_qkv(seed, b=b, h=h, t=t, d=d, dtype=dtype)
+        sqk = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(seed + 1), (h, d))
+        return q, k, v, sqk
+
+    @staticmethod
+    def _ref(q, k, v, sqk, scale):
+        from nvit_tpu.ops.attention import qknorm_project_xla
+
+        qh, kh = qknorm_project_xla(q, k, sqk, v.dtype)
+        return sdpa_xla(qh, kh, v, scale)
+
+    @pytest.mark.parametrize("t", [64, 100, 128])
+    def test_forward(self, t):
+        from nvit_tpu.ops.flash_attention import flash_attention_qknorm
+
+        q, k, v, sqk = self._setup(t=t)
+        scale = 5.65685  # sqrt(32), the nViT scale
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_qknorm(q, k, v, sqk, scale)
+        ref = self._ref(q, k, v, sqk, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.parametrize("t", [64, 100])
+    def test_gradients_including_sqk(self, t):
+        from nvit_tpu.ops.flash_attention import flash_attention_qknorm
+
+        q, k, v, sqk = self._setup(t=t, b=1)
+        scale = 5.65685
+        tgt = jax.random.normal(jax.random.PRNGKey(99), q.shape)
+
+        def loss_fused(q, k, v, sqk):
+            return jnp.sum((flash_attention_qknorm(q, k, v, sqk, scale) - tgt) ** 2)
+
+        def loss_ref(q, k, v, sqk):
+            return jnp.sum((self._ref(q, k, v, sqk, scale) - tgt) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, sqk)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, sqk)
+        for name, a, b in zip(("q", "k", "v", "sqk"), g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                err_msg=f"grad d{name} mismatch (qknorm fused)",
+            )
+
+    def test_long_sequence_fallback(self):
+        """t_pad > fused limit routes through XLA projection + plain flash."""
+        from nvit_tpu.ops.flash_attention import flash_attention_qknorm
+
+        q, k, v, sqk = self._setup(t=1100, b=1, h=1, d=16, seed=12)
+        scale = 4.0
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_qknorm(q, k, v, sqk, scale)
+        ref = self._ref(q, k, v, sqk, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    def test_block_end_to_end_grads(self):
+        """nViT Block value+grad parity: flash(fused qknorm) vs XLA chain."""
+        import sys
+
+        from nvit_tpu.configs.schema import ViTConfig
+        from nvit_tpu.models.blocks import block_apply, init_block
+
+        att = sys.modules["nvit_tpu.ops.attention"]
+        kw = dict(image_size=16, n_layer=1, n_head=2, n_embd=32,
+                  local_patch_size=4, global_patch_size=8, use_nvit=True)
+        cfg_x = ViTConfig(flash_attn=False, **kw)
+        cfg_f = ViTConfig(flash_attn=True, **kw)
+        p = init_block(jax.random.PRNGKey(3), cfg_x)
+        # move sqk off its constant init so its gradient is non-trivial
+        p["sqk"] = p["sqk"] * (1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(4), p["sqk"].shape))
+        h = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 32))
+
+        def loss(p, cfg):
+            return jnp.sum(jnp.square(block_apply(p, cfg, h)))
+
+        ref_val, ref_grad = jax.value_and_grad(loss)(p, cfg_x)
+        orig = att._on_tpu
+        att._on_tpu = lambda: True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                val, grad = jax.value_and_grad(loss)(p, cfg_f)
+        finally:
+            att._on_tpu = orig
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-4)
+        for path, a in jax.tree_util.tree_leaves_with_path(grad):
+            b = ref_grad
+            for k_ in path:
+                b = b[k_.key] if hasattr(k_, "key") else b[k_.idx]
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                err_msg=f"block grad mismatch at {jax.tree_util.keystr(path)}",
+            )
