@@ -18,5 +18,15 @@ if __name__ == "__main__":
     if os.environ.get("NVIT_MULTIHOST") == "1":
         import jax
 
-        jax.distributed.initialize()
+        # initialize() only auto-detects managed clusters (TPU pod metadata,
+        # SLURM, OMPI); on a plain host pass the coordinator env explicitly.
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
     main()

@@ -48,6 +48,9 @@ def epoch_indices(
         rng = np.random.RandomState(seed + epoch)  # ≙ sampler.set_epoch
         idx = rng.permutation(n)
     if shard_count > 1:
+        # equal-length shards (≙ DistributedSampler drop_last): hosts must
+        # stay in lockstep — a one-longer shard would desync SPMD collectives
+        idx = idx[: len(idx) - (len(idx) % shard_count)]
         idx = idx[shard_index::shard_count]
     return idx
 
@@ -137,6 +140,13 @@ def device_prefetch(
     def put(batch: Batch):
         imgs, labels = batch
         if sharding is not None:
+            if jax.process_count() > 1:
+                # multi-host SPMD: each process contributes its local shard of
+                # the GLOBAL batch (host-local [B/P, ...] → global [B, ...])
+                return (
+                    jax.make_array_from_process_local_data(sharding, imgs),
+                    jax.make_array_from_process_local_data(sharding, labels),
+                )
             return jax.device_put(imgs, sharding), jax.device_put(labels, sharding)
         return jax.device_put(imgs), jax.device_put(labels)
 

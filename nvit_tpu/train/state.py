@@ -13,12 +13,11 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax import Array
 
 from nvit_tpu.configs.schema import Config
 from nvit_tpu.models.vit import init_vit
-from nvit_tpu.train.optim import make_optimizer
+from nvit_tpu.train.optim import init_fused_adamw
 
 
 class TrainState(NamedTuple):
@@ -33,8 +32,7 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
     key = jax.random.PRNGKey(seed)
     pkey, rng = jax.random.split(key)
     params = init_vit(pkey, cfg.model)
-    tx = make_optimizer(cfg.optimizer)
-    opt_state = tx.init(params)
+    opt_state = init_fused_adamw(params)
     return TrainState(
         params=params,
         opt_state=opt_state,

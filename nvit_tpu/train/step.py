@@ -23,15 +23,13 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax import Array
 
 from nvit_tpu.configs.schema import Config
 from nvit_tpu.models.losses import topk_accuracy
 from nvit_tpu.models.schedules import cosine_lr
 from nvit_tpu.models.vit import total_loss, vit_apply
-from nvit_tpu.ops.renorm import renorm_params
-from nvit_tpu.train.optim import make_optimizer
+from nvit_tpu.train.optim import fused_adamw_renorm_update
 from nvit_tpu.train.state import TrainState, compute_dtype_of
 
 Metrics = dict[str, Array]
@@ -72,7 +70,6 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Array, Array], tuple[T
     divisible by k and the step scans over k micro-batches of B/k.
     """
     mcfg = cfg.model
-    tx = make_optimizer(cfg.optimizer)
     accum = max(1, cfg.training.gradient_accumulation_steps)
     loss_fn = make_loss_fn(cfg)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -117,12 +114,11 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Array, Array], tuple[T
     def train_step(state: TrainState, images: Array, labels: Array) -> tuple[TrainState, Metrics]:
         grads, terms, som_info = compute_grads(state.params, images, labels, state.step)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        if mcfg.use_nvit:
-            # ≙ reference per-iteration normalize_matrices (train.py:989-990)
-            params = renorm_params(params)
+        # one fused sweep: clip → AdamW → apply → (nViT) renorm per leaf
+        # (≙ optimizer step + normalize_matrices, train.py:940-946, 989-990)
+        params, opt_state = fused_adamw_renorm_update(
+            cfg.optimizer, state.params, grads, state.opt_state, renorm=mcfg.use_nvit
+        )
 
         if mcfg.use_kohonen:
             # non-gradient Hebbian channel (≙ in-forward update_nodes,

@@ -55,7 +55,12 @@ class Trainer:
 
         self.out_dir = Path(cfg.data.out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)  # ≙ prep_folder
-        self.logger = setup_logging(self.out_dir, level=cfg.system.log_level, to_file=cfg.system.log_to_file)
+        self.logger = setup_logging(
+            self.out_dir, level=cfg.system.log_level,
+            # file sink is master-only (≙ train.py:138-151) — two processes
+            # appending to one training.log interleave corruptly
+            to_file=cfg.system.log_to_file and jax.process_index() == 0,
+        )
 
         from nvit_tpu.obs.profiling import apply_debug_flags
 
@@ -72,6 +77,17 @@ class Trainer:
         self.batch_sharding = (
             jax.sharding.NamedSharding(self.mesh, batch_spec()) if self.mesh is not None else None
         )
+
+        # multi-host SPMD: process 0 is the master for checkpoint/metric IO
+        # (≙ reference master_process = rank==0, train.py:227-228); every
+        # process loads a strided 1/P shard of each global batch
+        self.is_master = jax.process_index() == 0
+        nproc = jax.process_count()
+        if nproc > 1 and cfg.training.batch_size % nproc != 0:
+            raise ValueError(
+                f"batch_size={cfg.training.batch_size} not divisible by "
+                f"process count {nproc}"
+            )
 
         # batch divisibility up front (≙ reference's grad-accum assertion,
         # train.py:238) — clear errors instead of cryptic XLA reshape failures
@@ -170,13 +186,17 @@ class Trainer:
         self.steps_per_epoch = max(1, len(self.trainset) // cfg.training.batch_size)
 
     def _epoch_iter(self, ds, *, epoch: int, shuffle: bool, drop_last: bool = True):
+        nproc = jax.process_count()
         it = make_epoch_iterator(
-            ds, batch_size=self.cfg.training.batch_size, epoch=epoch,
-            seed=self.cfg.training.seed, shuffle=shuffle, drop_last=drop_last,
+            # multi-host: each process loads a strided 1/P shard of each
+            # GLOBAL batch (≙ DistributedSampler rank/num_replicas,
+            # train.py:310-320); device_prefetch assembles the global array
+            ds, batch_size=self.cfg.training.batch_size // nproc, epoch=epoch,
+            seed=self.cfg.training.seed, shuffle=shuffle,
+            # ragged last batches would desync hosts → always drop under SPMD
+            drop_last=drop_last or nproc > 1,
             num_workers=self.cfg.data.num_workers,
-            # multi-host: each process loads its strided shard
-            # (≙ DistributedSampler rank/num_replicas, train.py:310-320)
-            shard_index=jax.process_index(), shard_count=jax.process_count(),
+            shard_index=jax.process_index(), shard_count=nproc,
         )
         return device_prefetch(it, size=self.cfg.data.prefetch, sharding=self.batch_sharding)
 
@@ -194,10 +214,11 @@ class Trainer:
         try:
             tlaunch = time.time()
             self._load_data()
-            self.metrics_writer = MetricsWriter(
-                self.out_dir, wandb_mode=cfg.wandb.mode, run_name=cfg.wandb.run_name,
-                project=cfg.wandb.project, config=cfg.to_dict(),
-            )
+            if self.is_master:  # metric sinks are master-only (≙ train.py:817)
+                self.metrics_writer = MetricsWriter(
+                    self.out_dir, wandb_mode=cfg.wandb.mode, run_name=cfg.wandb.run_name,
+                    project=cfg.wandb.project, config=cfg.to_dict(),
+                )
             if (self.out_dir / "finished").exists() and cfg.training.init_from == "resume":
                 self.logger.info("finished sentinel present; not relaunching")
                 return
@@ -211,7 +232,7 @@ class Trainer:
                 except ImportError:
                     pass
 
-            if self.iter_num == 0 and cfg.training.init_from == "scratch":
+            if self.iter_num == 0 and cfg.training.init_from == "scratch" and self.is_master:
                 write_stat_line(
                     self.out_dir, iter_num=0, lr=0.0, train_loss=0.0, val_loss=0.0,
                     params=jax.device_get(self.state.params), cfg=cfg, append=False,
@@ -238,15 +259,16 @@ class Trainer:
 
                     if self.iter_num % cfg.training.eval_interval == 0:
                         eval_metrics = self.evaluate()
-                        write_stat_line(
-                            self.out_dir,
-                            iter_num=self.iter_num,
-                            lr=float(cosine_lr(cfg.optimizer, self.iter_num)),
-                            train_loss=eval_metrics["train/loss"],
-                            val_loss=eval_metrics["val/loss"],
-                            params=jax.device_get(self.state.params),
-                            cfg=cfg,
-                        )
+                        if self.is_master:
+                            write_stat_line(
+                                self.out_dir,
+                                iter_num=self.iter_num,
+                                lr=float(cosine_lr(cfg.optimizer, self.iter_num)),
+                                train_loss=eval_metrics["train/loss"],
+                                val_loss=eval_metrics["val/loss"],
+                                params=jax.device_get(self.state.params),
+                                cfg=cfg,
+                            )
 
                     # jax.profiler trace of steps [1, 1+profile_steps) — step 0
                     # is compile (≙ SURVEY §5 tracing row; view in TensorBoard)
@@ -278,7 +300,8 @@ class Trainer:
                                if k.endswith("_loss") or k.endswith("_norm")},
                             **{f"system/{k}": v for k, v in memory_stats(cfg.system.log_memory).items()},
                         }
-                        self.metrics_writer.log(train_metrics, step=self.iter_num)
+                        if self.metrics_writer is not None:
+                            self.metrics_writer.log(train_metrics, step=self.iter_num)
                         if pbar is None:
                             self.logger.info(
                                 "Iter: %d/%d Loss: %.4f LR: %.4e Time: %.1fms",
@@ -411,7 +434,10 @@ class Trainer:
 
     # ------------------------------------------------------------ checkpoint
     def save(self, metrics: dict[str, float] | None = None) -> None:
-        """checkpoint_latest (+ optional numbered) — ≙ train.py:629-654."""
+        """checkpoint_latest (+ optional numbered) — ≙ train.py:629-654.
+        Master-only (≙ train.py:631-633)."""
+        if not self.is_master:
+            return
         t0 = time.time()
         metrics = metrics or self.last_metrics
         save_checkpoint(self.out_dir, "checkpoint_latest", self.state, self.cfg, metrics)
@@ -423,6 +449,8 @@ class Trainer:
         """checkpoint_best, written only on a fresh strict val-loss improvement
         (≙ train.py:657-665).  Called exclusively from evaluate() so the saved
         weights are exactly the ones that achieved the improvement."""
+        if not self.is_master:
+            return
         save_checkpoint(self.out_dir, "checkpoint_best", self.state, self.cfg, metrics)
         self._maybe_log_artifact()
 
@@ -456,9 +484,12 @@ class Trainer:
             self.logger.warning("artifact logging failed: %s", e)
 
     def mark_training_finished(self) -> None:
-        """Sentinel for the relaunch protocol (≙ train.py:1074-1079)."""
+        """Sentinel for the relaunch protocol (≙ train.py:1074-1079).
+        All processes stop (the early-stop decision is identical everywhere —
+        same replicated metrics); only the master writes the sentinel."""
         self.finished = True
-        (self.out_dir / "finished").write_text("1")
+        if self.is_master:
+            (self.out_dir / "finished").write_text("1")
 
     # --------------------------------------------------------------- cleanup
     def _install_signal_handlers(self) -> None:

@@ -1,0 +1,58 @@
+"""Worker script for the multi-process SPMD test (tests/test_multiprocess.py).
+
+Runs the full Trainer under jax.distributed with N CPU processes
+(≙ reference torchrun spawning one process per GPU, launcher.sh:9,
+train.py:220-231).  Invoked as:
+
+    python tests/mp_worker.py <rank> <nproc> <port> <outdir>
+
+The parent sets JAX_PLATFORMS=cpu / PALLAS_AXON_POOL_IPS= /
+XLA_FLAGS=--xla_force_host_platform_device_count=K in the environment.
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    rank, nproc, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    if nproc > 1:
+        jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=rank)
+
+    import dataclasses
+
+    from nvit_tpu.configs.schema import (
+        AugmentationConfig, Config, DataConfig, OptimizerConfig,
+        SystemConfig, TrainingConfig, ViTConfig,
+    )
+    from nvit_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        model=ViTConfig(
+            image_size=16, n_layer=1, n_head=2, n_embd=32, num_classes=10,
+            local_patch_size=4, global_patch_size=8, use_nvit=True,
+            use_kohonen=True, kohonen_nodes=18, bias=True, flash_attn=False,
+        ),
+        training=TrainingConfig(
+            batch_size=16, max_iters=4, max_iters_per_launch=100,
+            eval_interval=1000, log_interval=2, eval_iters=1,
+        ),
+        optimizer=OptimizerConfig(learning_rate=1e-3, warmup_iters=2, lr_decay_iters=100),
+        system=SystemConfig(use_ddp=True, use_tqdm=False, dtype="float32", use_amp=False),
+        data=DataConfig(
+            out_dir=outdir, dataset="synthetic", data_dir=outdir + "/data",
+            augmentation=AugmentationConfig(enabled=False),
+        ),
+    )
+    t = Trainer(config=cfg)
+    assert jax.process_count() == nproc, (jax.process_count(), nproc)
+    t.train()
+    assert t.iter_num == 4, t.iter_num
+    print(f"RANK{rank}_DONE iter={t.iter_num}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

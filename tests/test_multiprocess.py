@@ -1,0 +1,72 @@
+"""Real multi-PROCESS SPMD validation (VERDICT round-1 #7).
+
+Launches the full Trainer in 2 actual OS processes joined via
+``jax.distributed.initialize`` (Gloo collectives on CPU) with 2 virtual
+devices each — a 4-device global mesh split across process boundaries — and
+asserts the result equals a single-process 4-device run of the SAME global
+config: the strided per-host shards of each global batch cover exactly the
+batch the single process sees, so the mean-reduced gradients (and the
+order-independent SOM delta sums) are mathematically identical.
+
+≙ reference torchrun multi-process DDP (launcher.sh:9, train.py:220-231)
+— which the reference only ever scripted, never tested.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "mp_worker.py"
+
+
+def _run_workers(nproc: int, port: int, outdir: Path, devices_per_proc: int):
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
+        PYTHONPATH=str(REPO),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(r), str(nproc), str(port), str(outdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(nproc)
+    ]
+    outs = []
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
+    return outs
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    out_mp = tmp_path / "mp"
+    out_sp = tmp_path / "sp"
+    out_mp.mkdir()
+    out_sp.mkdir()
+
+    outs = _run_workers(2, 29517, out_mp, devices_per_proc=2)
+    assert "RANK0_DONE iter=4" in outs[0]
+    assert "RANK1_DONE iter=4" in outs[1]
+
+    # single process, same 4-device global mesh
+    _run_workers(1, 29518, out_sp, devices_per_proc=4)
+
+    ck_mp = np.load(out_mp / "checkpoint_latest.npz")
+    ck_sp = np.load(out_sp / "checkpoint_latest.npz")
+    assert set(ck_mp.files) == set(ck_sp.files)
+    for name in ck_sp.files:
+        np.testing.assert_allclose(
+            ck_mp[name], ck_sp[name], rtol=2e-4, atol=2e-5,
+            err_msg=f"param {name} diverged between 2-process and 1-process runs",
+        )
+
+    # master-only IO: rank 0 wrote the sinks; exactly one set of files exists
+    assert (out_mp / "checkpoint_latest.npz").exists()
+    assert (out_mp / "metrics.jsonl").exists()

@@ -176,3 +176,96 @@ class TestEvalStep:
         for k in ("loss", "top1_accuracy", "top5_accuracy", "class_loss"):
             assert k in metrics
         assert 0.0 <= float(metrics["top1_accuracy"]) <= 100.0
+
+
+class TestFusedAdamWRenorm:
+    """The single-sweep fused update must be numerically EQUAL to the previous
+    optax.chain(clip_by_global_norm, adamw) + renorm_params composition."""
+
+    @staticmethod
+    def _setup(seed=0):
+        import dataclasses as dc
+
+        from nvit_tpu.configs.schema import Config, OptimizerConfig, ViTConfig
+        from nvit_tpu.train.state import create_train_state
+
+        cfg = Config(
+            model=ViTConfig(
+                image_size=16, n_layer=2, n_head=2, n_embd=32, num_classes=10,
+                local_patch_size=4, global_patch_size=8, use_nvit=True,
+            ),
+            optimizer=OptimizerConfig(
+                learning_rate=1e-3, warmup_iters=2, lr_decay_iters=50, grad_clip=1.0
+            ),
+        )
+        state = create_train_state(cfg, seed=seed)
+        grads = jax.tree_util.tree_map(
+            lambda p: 0.5 * jax.random.normal(jax.random.PRNGKey(hash(p.shape) % 2**31), p.shape, p.dtype),
+            state.params,
+        )
+        return cfg, state, grads
+
+    def _optax_reference(self, cfg, params, grads, n_steps, renorm):
+        import optax
+
+        from nvit_tpu.ops.renorm import renorm_params
+        from nvit_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(cfg.optimizer)
+        opt_state = tx.init(params)
+        for _ in range(n_steps):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if renorm:
+                params = renorm_params(params)
+        return params
+
+    @pytest.mark.parametrize("renorm", [False, True])
+    def test_matches_optax_chain(self, renorm):
+        from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
+
+        cfg, state, grads = self._setup()
+        params = state.params
+        fstate = init_fused_adamw(params)
+        for _ in range(3):
+            params, fstate = fused_adamw_renorm_update(
+                cfg.optimizer, params, grads, fstate, renorm=renorm
+            )
+        ref = self._optax_reference(cfg, state.params, grads, 3, renorm)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+                err_msg=f"fused vs optax mismatch at {jax.tree_util.keystr(pa)}",
+            )
+
+    def test_clipping_engages(self):
+        """Huge grads: the global-norm clip must bound the update magnitude
+        identically to optax."""
+        from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
+
+        cfg, state, grads = self._setup(seed=1)
+        grads = jax.tree_util.tree_map(lambda g: g * 1e4, grads)
+        params, _ = fused_adamw_renorm_update(
+            cfg.optimizer, state.params, grads, init_fused_adamw(state.params), renorm=False
+        )
+        ref = self._optax_reference(cfg, state.params, grads, 1, False)
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+    def test_renorm_invariant_holds(self):
+        """After a fused update with renorm=True every Block matrix is unit-norm
+        along its renorm axis."""
+        from nvit_tpu.ops.renorm import RENORM_AXES
+        from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
+
+        cfg, state, grads = self._setup(seed=2)
+        params, _ = fused_adamw_renorm_update(
+            cfg.optimizer, state.params, grads, init_fused_adamw(state.params), renorm=True
+        )
+        for bp in params["blocks"]:
+            for name, axis in RENORM_AXES.items():
+                norms = np.linalg.norm(np.asarray(bp[name]["w"]), axis=axis)
+                np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
