@@ -21,6 +21,7 @@ Rebuild notes:
 from __future__ import annotations
 
 import json
+import threading
 import time
 from pathlib import Path
 from typing import Any
@@ -36,6 +37,41 @@ def _flatten(state: TrainState) -> list[np.ndarray]:
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(state)]
 
 
+def _write_files(
+    out_dir: Path, name: str, leaves: list[np.ndarray], meta: dict[str, Any]
+) -> Path:
+    arrays_path = out_dir / f"{name}.npz"
+    meta_path = out_dir / f"{name}.json"
+    tmp_arrays = arrays_path.with_suffix(".npz.tmp")
+    tmp_meta = meta_path.with_suffix(".json.tmp")
+
+    with open(tmp_arrays, "wb") as f:  # handle, so numpy can't append ".npz"
+        np.savez(f, **{f"leaf_{i}": a for i, a in enumerate(leaves)})
+    tmp_meta.write_text(json.dumps(meta, indent=2))
+    tmp_arrays.replace(arrays_path)
+    tmp_meta.replace(meta_path)
+    return arrays_path
+
+
+def _snapshot(
+    state: TrainState, config: Config, metrics: dict[str, float] | None
+) -> tuple[list[np.ndarray], dict[str, Any]]:
+    """Synchronous host snapshot.  device_get must stay on the calling thread:
+    the train step donates its input buffers, so the copy must complete before
+    the next step dispatches — only the FILE IO is safe to defer."""
+    state = jax.device_get(state)
+    leaves = _flatten(state)
+    meta = {
+        "iter_num": int(state.step),
+        "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+        "config": config.to_dict(),
+        "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
+        "num_leaves": len(leaves),
+        "format": "nvit_tpu.ckpt.v1",
+    }
+    return leaves, meta
+
+
 def save_checkpoint(
     out_dir: str | Path,
     name: str,
@@ -46,28 +82,28 @@ def save_checkpoint(
     """Write ``<out_dir>/<name>.npz`` + ``<name>.json`` atomically."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    state = jax.device_get(state)
-    leaves = _flatten(state)
+    leaves, meta = _snapshot(state, config, metrics)
+    return _write_files(out_dir, name, leaves, meta)
 
-    arrays_path = out_dir / f"{name}.npz"
-    meta_path = out_dir / f"{name}.json"
-    tmp_arrays = arrays_path.with_suffix(".npz.tmp")
-    tmp_meta = meta_path.with_suffix(".json.tmp")
 
-    with open(tmp_arrays, "wb") as f:  # handle, so numpy can't append ".npz"
-        np.savez(f, **{f"leaf_{i}": a for i, a in enumerate(leaves)})
-    meta = {
-        "iter_num": int(state.step),
-        "metrics": {k: float(v) for k, v in (metrics or {}).items()},
-        "config": config.to_dict(),
-        "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
-        "num_leaves": len(leaves),
-        "format": "nvit_tpu.ckpt.v1",
-    }
-    tmp_meta.write_text(json.dumps(meta, indent=2))
-    tmp_arrays.replace(arrays_path)
-    tmp_meta.replace(meta_path)
-    return arrays_path
+def save_checkpoint_async(
+    out_dir: str | Path,
+    name: str,
+    state: TrainState,
+    config: Config,
+    metrics: dict[str, float] | None = None,
+) -> threading.Thread:
+    """Snapshot synchronously, write the files on a background thread.
+
+    Moves the ~GB npz serialization off the training hot path (VERDICT
+    round-1 #10).  The caller must join the returned thread before writing
+    the same checkpoint name again (the Trainer serializes saves)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    leaves, meta = _snapshot(state, config, metrics)
+    t = threading.Thread(target=_write_files, args=(out_dir, name, leaves, meta), daemon=True)
+    t.start()
+    return t
 
 
 def load_checkpoint_meta(out_dir: str | Path, name: str) -> dict[str, Any]:

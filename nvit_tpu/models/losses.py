@@ -74,12 +74,26 @@ def neighbor_indices(indices: Array, grid_m: int, grid_n: int) -> Array:
 
 def map_smoothness(nodes: Array, indices: Array, grid_m: int, grid_n: int) -> Array:
     """Mean L2 distance from each BMU's embedding to its 8 neighbors' embeddings
-    (≙ reference model.py:539-561)."""
-    neigh = neighbor_indices(indices, grid_m, grid_n)
-    cur = jnp.take(nodes, indices, axis=0).astype(jnp.float32)  # [..., d]
-    nb = jnp.take(nodes, neigh, axis=0).astype(jnp.float32)  # [..., 8, d]
-    dist = jnp.linalg.norm(cur[..., None, :] - nb, axis=-1)
-    return jnp.mean(dist)
+    (≙ reference model.py:539-561).
+
+    The distance depends only on the BMU's node INDEX, so instead of gathering
+    a [B·T, 8, d] embedding tensor (≈600 MB at ImageNet scale — the reference's
+    formulation), compute the per-node mean-neighbor-distance table [N] once
+    and weight it by each node's BMU count:
+        mean_i dist(bmu_i) = Σ_n (count_n / S) · table_n
+    — mathematically identical, with gradients flowing into ``nodes`` through
+    the table exactly as before (indices carry no gradient — argmin)."""
+    n_nodes = nodes.shape[0]
+    node_ids = jnp.arange(n_nodes)
+    neigh = neighbor_indices(node_ids, grid_m, grid_n)  # [N, 8]
+    cur = nodes.astype(jnp.float32)  # [N, d]
+    nb = jnp.take(nodes, neigh, axis=0).astype(jnp.float32)  # [N, 8, d]
+    table = jnp.mean(jnp.linalg.norm(cur[:, None, :] - nb, axis=-1), axis=-1)  # [N]
+    idx = indices.reshape(-1)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(idx, dtype=jnp.float32), idx, num_segments=n_nodes
+    )
+    return jnp.sum(counts * table) / idx.shape[0]
 
 
 def smoothness_loss(

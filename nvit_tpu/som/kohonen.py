@@ -115,11 +115,13 @@ def bmu(nodes: Array, x: Array) -> tuple[Array, Array]:
     ``nodes`` via the gather, matching the reference forward
     (kohonen.py:100-119: cdist → argmin → index).
     """
-    x32 = x.astype(jnp.float32)
-    nodes32 = nodes.astype(jnp.float32)
-    # ‖x−n‖² = ‖x‖² − 2 x·n + ‖n‖²; the ‖x‖² term is constant in argmin.
-    cross = jnp.einsum("...sd,nd->...sn", x32, nodes32, preferred_element_type=jnp.float32)
-    nsq = jnp.sum(nodes32 * nodes32, axis=-1)
+    # The cross matmul runs in the ACTIVATION dtype (bf16 under the compute
+    # policy → full-rate MXU; fp32 callers keep fp32) with fp32 accumulation;
+    # ‖x−n‖² = ‖x‖² − 2 x·n + ‖n‖², the ‖x‖² term is constant in argmin.
+    nodes_mm = nodes.astype(x.dtype)
+    cross = jnp.einsum("...sd,nd->...sn", x, nodes_mm, preferred_element_type=jnp.float32)
+    n32 = nodes_mm.astype(jnp.float32)
+    nsq = jnp.sum(n32 * n32, axis=-1)
     indices = jnp.argmin(nsq - 2.0 * cross, axis=-1)
     node_repr = jnp.take(nodes, indices, axis=0)
     return node_repr, indices
@@ -144,11 +146,16 @@ def hebbian_delta(
     Everything is stop-gradiented — this is the non-gradient update channel.
     """
     n_nodes = nodes.shape[0]
-    x32 = jax.lax.stop_gradient(x.astype(jnp.float32)).reshape(-1, x.shape[-1])  # [S, d]
+    xs = jax.lax.stop_gradient(x).reshape(-1, x.shape[-1])  # [S, d], activation dtype
     idx = jax.lax.stop_gradient(indices).reshape(-1)  # [S]
-    one_hot = jax.nn.one_hot(idx, n_nodes, dtype=jnp.float32)  # [S, N]
-    xsum = jnp.einsum("sn,sd->nd", one_hot, x32, preferred_element_type=jnp.float32)  # scatter-sum
-    counts = jnp.sum(one_hot, axis=0)  # [N]
+    # scatter-sum as a one-hot matmul in the activation dtype (bf16 → MXU at
+    # full rate) with fp32 accumulation; each node's sum accumulates ≤S terms
+    # in fp32, so the bf16 inputs cost only input rounding
+    one_hot = jax.nn.one_hot(idx, n_nodes, dtype=xs.dtype)  # [S, N]
+    xsum = jnp.einsum("sn,sd->nd", one_hot, xs, preferred_element_type=jnp.float32)  # [N, d]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(idx, dtype=jnp.float32), idx, num_segments=n_nodes
+    )  # [N]
     strength_x = kernel @ xsum  # [N, d]
     strength_total = kernel @ counts  # [N]
     nodes32 = jax.lax.stop_gradient(nodes.astype(jnp.float32))

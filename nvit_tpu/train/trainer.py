@@ -30,7 +30,11 @@ import numpy as np
 
 from nvit_tpu.configs.loader import load_config
 from nvit_tpu.configs.schema import Config
-from nvit_tpu.ckpt.checkpoint import restore_for_resume, save_checkpoint
+from nvit_tpu.ckpt.checkpoint import (
+    restore_for_resume,
+    save_checkpoint,
+    save_checkpoint_async,
+)
 from nvit_tpu.data.augment import preprocess
 from nvit_tpu.data.datasets import load_dataset
 from nvit_tpu.data.pipeline import device_prefetch, make_epoch_iterator
@@ -149,6 +153,7 @@ class Trainer:
             self._eval_step = jax.jit(self._eval_step)
 
         self.metrics_writer: MetricsWriter | None = None
+        self._pending_saves: list = []
         self._install_signal_handlers()
 
         n = num_params(self.state.params)
@@ -433,17 +438,33 @@ class Trainer:
         return self.early_stopping_counter >= self.cfg.training.early_stopping_patience
 
     # ------------------------------------------------------------ checkpoint
+    def _join_pending_saves(self) -> None:
+        """Serialize checkpoint writes: a new save to a name must not race the
+        previous write of the same file."""
+        for t in getattr(self, "_pending_saves", []):
+            t.join()
+        self._pending_saves = []
+
     def save(self, metrics: dict[str, float] | None = None) -> None:
         """checkpoint_latest (+ optional numbered) — ≙ train.py:629-654.
-        Master-only (≙ train.py:631-633)."""
+        Master-only (≙ train.py:631-633).  The device snapshot is synchronous
+        (donation safety); the file write happens on a background thread so
+        the step loop resumes immediately (VERDICT round-1 #10)."""
         if not self.is_master:
             return
+        self._join_pending_saves()
         t0 = time.time()
         metrics = metrics or self.last_metrics
-        save_checkpoint(self.out_dir, "checkpoint_latest", self.state, self.cfg, metrics)
+        self._pending_saves.append(
+            save_checkpoint_async(self.out_dir, "checkpoint_latest", self.state, self.cfg, metrics)
+        )
         if self.cfg.training.save_numbered_checkpoints:
-            save_checkpoint(self.out_dir, f"checkpoint_{self.iter_num:07d}", self.state, self.cfg, metrics)
-        self.logger.info("Checkpoint saving time: %.2f sec", time.time() - t0)
+            self._pending_saves.append(
+                save_checkpoint_async(
+                    self.out_dir, f"checkpoint_{self.iter_num:07d}", self.state, self.cfg, metrics
+                )
+            )
+        self.logger.info("Checkpoint snapshot time: %.2f sec", time.time() - t0)
 
     def save_best(self, metrics: dict[str, float]) -> None:
         """checkpoint_best, written only on a fresh strict val-loss improvement
@@ -451,7 +472,10 @@ class Trainer:
         weights are exactly the ones that achieved the improvement."""
         if not self.is_master:
             return
-        save_checkpoint(self.out_dir, "checkpoint_best", self.state, self.cfg, metrics)
+        self._join_pending_saves()
+        self._pending_saves.append(
+            save_checkpoint_async(self.out_dir, "checkpoint_best", self.state, self.cfg, metrics)
+        )
         self._maybe_log_artifact()
 
     def _maybe_log_artifact(self) -> None:
@@ -460,6 +484,7 @@ class Trainer:
         mw = self.metrics_writer
         if mw is None or mw.wandb is None or not self.cfg.wandb.save_artifacts:
             return
+        self._join_pending_saves()  # artifact reads the files — wait for the write
         wandb = mw.wandb
         timestamp = time.strftime("%d_%m_%Y-%Hh%Mm")
         kind = "nvit" if self.cfg.model.use_nvit else "vit"
@@ -514,6 +539,7 @@ class Trainer:
         try:
             if self.iter_num > 0:
                 self.save(self.last_metrics)
+            self._join_pending_saves()  # don't exit while a write is in flight
             if self.metrics_writer is not None:
                 self.metrics_writer.finish()
                 self.metrics_writer = None

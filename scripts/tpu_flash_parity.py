@@ -1,0 +1,98 @@
+"""Real-TPU (Mosaic, not interpret-mode) flash-attention parity assertions.
+
+VERDICT round-1 #9: the Pallas kernels were verified only in interpret mode on
+CPU; this script runs on the actual chip and asserts forward + gradient
+agreement between the Pallas kernels and the XLA reference path at bf16
+tolerances, for both the plain kernel and the fused QK-norm (nViT) variant,
+at the flagship's shape (T=784, D=64).
+
+Run inside the bench TPU session (single process!):
+    python scripts/tpu_flash_parity.py
+Prints one PASS line per check with the max abs error; exits nonzero on
+failure.  Results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from nvit_tpu.ops.attention import qknorm_project_xla, sdpa_xla  # noqa: E402
+from nvit_tpu.ops.flash_attention import flash_attention, flash_attention_qknorm  # noqa: E402
+
+B, H, T, D = 2, 12, 784, 64
+SCALE = float(np.sqrt(D))  # the nViT scale — harder on the softmax than 1/sqrt(d)
+checks: list[tuple[str, float, float]] = []
+
+
+def record(name: str, got, want, tol: float):
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32)))) or 1.0
+    rel = err / scale
+    ok = rel < tol
+    checks.append((name, rel, tol))
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max_rel_err={rel:.3e} (tol {tol:.1e})", flush=True)
+    return ok
+
+
+def main() -> int:
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    q = jax.random.normal(ks[0], (B, H, T, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, H, T, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, H, T, D), jnp.bfloat16)
+    sqk = (1.0 + 0.1 * jax.random.normal(ks[3], (H, D))).astype(jnp.float32)
+    g = jax.random.normal(ks[4], (B, H, T, D), jnp.float32)
+
+    ok = True
+
+    # ---- plain kernel: fwd + grads ----
+    out_f = jax.jit(lambda q, k, v: flash_attention(q, k, v, SCALE))(q, k, v)
+    out_x = jax.jit(lambda q, k, v: sdpa_xla(q, k, v, SCALE))(q, k, v)
+    ok &= record("flash_fwd_bf16", out_f, out_x, 2e-2)
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, SCALE).astype(jnp.float32) * g)
+
+    def loss_x(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v, SCALE).astype(jnp.float32) * g)
+
+    gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip("qkv", gf, gx):
+        ok &= record(f"flash_grad_d{name}_bf16", a, b, 3e-2)
+
+    # ---- fused QK-norm kernel: fwd + grads incl. dsqk ----
+    def ref_qkn(q, k, v, s):
+        qh, kh = qknorm_project_xla(q, k, s, v.dtype)
+        return sdpa_xla(qh, kh, v, SCALE)
+
+    out_f = jax.jit(lambda q, k, v, s: flash_attention_qknorm(q, k, v, s, SCALE))(q, k, v, sqk)
+    out_x = jax.jit(ref_qkn)(q, k, v, sqk)
+    ok &= record("qknorm_fwd_bf16", out_f, out_x, 2e-2)
+
+    def loss_fq(q, k, v, s):
+        return jnp.sum(flash_attention_qknorm(q, k, v, s, SCALE).astype(jnp.float32) * g)
+
+    def loss_xq(q, k, v, s):
+        return jnp.sum(ref_qkn(q, k, v, s).astype(jnp.float32) * g)
+
+    gf = jax.jit(jax.grad(loss_fq, argnums=(0, 1, 2, 3)))(q, k, v, sqk)
+    gx = jax.jit(jax.grad(loss_xq, argnums=(0, 1, 2, 3)))(q, k, v, sqk)
+    for name, a, b in zip(("q", "k", "v", "sqk"), gf, gx):
+        ok &= record(f"qknorm_grad_d{name}_bf16", a, b, 3e-2)
+
+    print(("ALL_PASS" if ok else "SOME_FAILED") + f" ({len(checks)} checks)", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
