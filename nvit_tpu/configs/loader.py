@@ -106,14 +106,36 @@ def _deep_merge(base: dict[str, Any], extra: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+# flat secrets loaded from secrets.yaml (≙ the Dynaconf ``secrets=`` file,
+# reference train.py:85-87); consulted by get_secret, never written back
+_SECRETS: dict[str, str] = {}
+
+
+def _load_secrets_file(path: str | Path) -> dict[str, Any]:
+    """Read secrets.yaml: config-tree sections merge into the settings overlay;
+    flat scalar keys (e.g. ``wandb_api_key``) go to the get_secret store."""
+    path = Path(path)
+    if not path.exists():
+        return {}
+    loaded = yaml.safe_load(path.read_text()) or {}
+    tree: dict[str, Any] = {}
+    for k, v in loaded.items():
+        if isinstance(v, dict):
+            tree[k.lower()] = v
+        else:
+            _SECRETS[str(k).upper()] = str(v)
+    return tree
+
+
 def load_config(
     settings_file: str | Path | None = "settings.yaml",
     *,
     dotenv_path: str | Path = ".env",
+    secrets_file: str | Path = "secrets.yaml",
     env: dict[str, str] | None = None,
     overrides: dict[str, Any] | None = None,
 ) -> Config:
-    """Build the Config: defaults ← YAML ← .env ← process env ← overrides."""
+    """Build the Config: defaults ← YAML ← secrets ← .env ← process env ← overrides."""
     tree: dict[str, Any] = {}
 
     if settings_file is not None:
@@ -126,6 +148,7 @@ def load_config(
             loaded = yaml.safe_load(path.read_text()) or {}
             tree = _deep_merge(tree, {k.lower(): v for k, v in loaded.items()})
 
+    tree = _deep_merge(tree, _load_secrets_file(secrets_file))
     dotenv = read_dotenv(dotenv_path)
     tree = _deep_merge(tree, _env_overrides(dotenv))
     tree = _deep_merge(tree, _env_overrides(env if env is not None else dict(os.environ)))
@@ -146,9 +169,14 @@ def load_config(
 
 
 def get_secret(name: str, settings_env_key: str | None = None) -> str | None:
-    """Secrets lookup: NVIT_<NAME> env var, then bare <NAME> env var.
+    """Secrets lookup: NVIT_<NAME> env var, then bare <NAME> env var, then the
+    flat keys of ``secrets.yaml`` loaded by load_config.
 
-    ≙ reference train.py:514-515 (wandb key from secrets.yaml / NVIT_WANDB_API_KEY /
-    WANDB_API_KEY).  We do not persist secrets to disk.
+    ≙ reference train.py:85-87, 514-515 (wandb key from secrets.yaml /
+    NVIT_WANDB_API_KEY / WANDB_API_KEY).  We never write secrets to disk.
     """
-    return os.environ.get(f"{ENV_PREFIX}_{name}") or os.environ.get(settings_env_key or name)
+    return (
+        os.environ.get(f"{ENV_PREFIX}_{name}")
+        or os.environ.get(settings_env_key or name)
+        or _SECRETS.get(name.upper())
+    )

@@ -139,6 +139,15 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Array, Array], tuple[T
             # fp32 reductions — gate on the stats knob
             metrics["grad_norm"] = global_norm(grads)
             metrics["param_norm"] = global_norm(params)
+            # per-group gradient norms (≙ wandb.watch gradient monitoring,
+            # train.py:531-546 — histograms per tensor are HBM-prohibitive on
+            # TPU; per-component norms are the SPMD-sane equivalent, computed
+            # in-step as replicated scalars)
+            for i, bp in enumerate(grads.get("blocks", [])):
+                metrics[f"blocks.{i}_grad_norm"] = global_norm(bp)
+            for group in ("cross_attention", "local_patch_embed", "global_patch_embed", "head"):
+                if group in grads:
+                    metrics[f"{group}_grad_norm"] = global_norm(grads[group])
         return new_state, metrics
 
     return train_step

@@ -94,3 +94,22 @@ def test_scalar_over_nested_section_raises():
 
     with pytest.raises(TypeError, match="nested keys"):
         merge_dataclass(Config().data, {"augmentation": '{"enabled": false}'})
+
+
+def test_secrets_yaml_loading(tmp_path, monkeypatch):
+    """secrets.yaml: config-tree sections overlay the settings; flat keys feed
+    get_secret (≙ reference Dynaconf secrets=, train.py:85-87)."""
+    import nvit_tpu.configs.loader as loader
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "secrets.yaml").write_text(
+        "wandb_api_key: s3cret\nwandb:\n  project: secret-project\n"
+    )
+    monkeypatch.delenv("NVIT_WANDB_API_KEY", raising=False)
+    monkeypatch.delenv("WANDB_API_KEY", raising=False)
+    cfg = loader.load_config("settings.yaml", env={})
+    assert cfg.wandb.project == "secret-project"
+    assert loader.get_secret("WANDB_API_KEY") == "s3cret"
+    # env var wins over the file
+    monkeypatch.setenv("NVIT_WANDB_API_KEY", "env-wins")
+    assert loader.get_secret("WANDB_API_KEY") == "env-wins"

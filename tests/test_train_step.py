@@ -269,3 +269,28 @@ class TestFusedAdamWRenorm:
             for name, axis in RENORM_AXES.items():
                 norms = np.linalg.norm(np.asarray(bp[name]["w"]), axis=axis)
                 np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_per_group_grad_norms_logged():
+    """≙ wandb.watch gradient monitoring: per-component grad norms appear in
+    step metrics when log_gpu_stats is on."""
+    import dataclasses as dc
+
+    from nvit_tpu.configs.schema import Config, SystemConfig, TrainingConfig, ViTConfig
+    from nvit_tpu.train.state import create_train_state
+    from nvit_tpu.train.step import make_train_step
+
+    cfg = Config(
+        model=ViTConfig(image_size=16, n_layer=2, n_head=2, n_embd=32, num_classes=10,
+                        local_patch_size=4, global_patch_size=8, use_nvit=True),
+        training=TrainingConfig(batch_size=8),
+        system=SystemConfig(use_ddp=False, dtype="float32", use_amp=False, log_gpu_stats=True),
+    )
+    state = create_train_state(cfg)
+    step = make_train_step(cfg)
+    imgs = jnp.zeros((8, 3, 16, 16), jnp.float32)
+    labels = jnp.zeros((8,), jnp.int32)
+    _, metrics = step(state, imgs, labels)
+    assert "blocks.0_grad_norm" in metrics and "blocks.1_grad_norm" in metrics
+    assert "cross_attention_grad_norm" in metrics and "head_grad_norm" in metrics
+    assert float(metrics["grad_norm"]) >= 0.0
