@@ -1,0 +1,86 @@
+"""Step-anatomy timing on the real chip: forward / forward+backward /
+optimizer-update / full-step, to locate the remaining non-floor time
+(BASELINE.md round-2: full step 253 ms at B=32; attention floor ≈ 103 ms,
+SLERP floor ≈ 14 ms, matmuls ≈ 28 ms).
+
+Single TPU process; host-value fetches as sync points (tunnel caveat)."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from __graft_entry__ import flagship_config  # noqa: E402
+from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw  # noqa: E402
+from nvit_tpu.train.state import create_train_state  # noqa: E402
+from nvit_tpu.train.step import make_loss_fn, make_train_step  # noqa: E402
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+STEPS = 15
+
+
+def timeit(name, fn, *args, sync):
+    out = fn(*args)
+    float(sync(out))
+    out = fn(*args)
+    float(sync(out))
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = fn(*args)
+    float(sync(out))
+    dt = (time.perf_counter() - t0) / STEPS * 1000
+    print(f"{name}: {dt:.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    cfg = flagship_config()
+    state = create_train_state(cfg)
+    loss_fn = make_loss_fn(cfg)
+
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (B, 3, 224, 224), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, cfg.model.num_classes)
+
+    fwd = jax.jit(lambda p, x, y: loss_fn(p, x, y, 0)[0])
+    timeit("fwd_only", fwd, state.params, imgs, labels, sync=lambda o: o)
+
+    # fwd+bwd without donation OOMs at B=32 (params can't be freed during the
+    # residual peak) — donate a throwaway params copy instead
+    grad = jax.jit(
+        lambda p, x, y: jax.value_and_grad(lambda pp: loss_fn(pp, x, y, 0)[0])(p),
+        donate_argnums=0,
+    )
+    import jax as _jax
+    copy_p = _jax.jit(lambda p: _jax.tree_util.tree_map(lambda a: a + 0, p))
+
+    def grad_fresh(x, y):
+        return grad(copy_p(state.params), x, y)
+
+    timeit("fwd_plus_bwd", grad_fresh, imgs, labels, sync=lambda o: o[0])
+
+    _, grads = grad_fresh(imgs, labels)
+    upd = jax.jit(
+        lambda p, g, s: fused_adamw_renorm_update(cfg.optimizer, p, g, s, renorm=True)
+    )
+    opt_state = init_fused_adamw(state.params)
+    timeit(
+        "update_only", upd, state.params, grads, opt_state,
+        sync=lambda o: jnp.sum(o[0]["sz"]) if "sz" in o[0] else o[1].count,
+    )
+
+    step = jax.jit(make_train_step(cfg))  # no donation: state reused across calls
+    timeit("full_step", step, state, imgs, labels, sync=lambda o: o[1]["total_loss"])
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
