@@ -145,7 +145,12 @@ def restore_for_resume(out_dir: str | Path, name: str) -> tuple[TrainState, Conf
     meta = load_checkpoint_meta(out_dir, name)
     cfg = merge_dataclass(_C(), meta["config"])
     template = create_train_state(cfg)
-    state, meta = load_checkpoint(out_dir, name, template)
+    if meta.get("format", "").startswith("nvit_tpu.ckpt.orbax"):
+        from nvit_tpu.ckpt.orbax_backend import load_checkpoint_orbax
+
+        state, meta = load_checkpoint_orbax(out_dir, name, template)
+    else:
+        state, meta = load_checkpoint(out_dir, name, template)
     return state, cfg, meta
 
 

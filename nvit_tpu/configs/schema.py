@@ -190,6 +190,7 @@ class DataConfig:
     data_dir: str = "./data"
     checkpoint_dir: str = "./out"
     checkpoint_file: str = "checkpoint_latest"
+    checkpoint_backend: str = "npz"  # npz (atomic, async writes) | orbax (sharded multi-host IO)
     num_workers: int = 4
     prefetch: int = 2
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)

@@ -82,6 +82,11 @@ class Trainer:
             jax.sharding.NamedSharding(self.mesh, batch_spec()) if self.mesh is not None else None
         )
 
+        if cfg.data.checkpoint_backend not in ("npz", "orbax"):
+            raise ValueError(
+                f"checkpoint_backend must be 'npz' or 'orbax', got {cfg.data.checkpoint_backend!r}"
+            )
+
         # multi-host SPMD: process 0 is the master for checkpoint/metric IO
         # (≙ reference master_process = rank==0, train.py:227-228); every
         # process loads a strided 1/P shard of each global batch
@@ -445,6 +450,17 @@ class Trainer:
             t.join()
         self._pending_saves = []
 
+    def _save_one(self, name: str, metrics: dict[str, float] | None) -> None:
+        """Dispatch to the configured checkpoint backend (npz async | orbax)."""
+        if self.cfg.data.checkpoint_backend == "orbax":
+            from nvit_tpu.ckpt.orbax_backend import save_checkpoint_orbax
+
+            save_checkpoint_orbax(self.out_dir, name, self.state, self.cfg, metrics)
+        else:
+            self._pending_saves.append(
+                save_checkpoint_async(self.out_dir, name, self.state, self.cfg, metrics)
+            )
+
     def save(self, metrics: dict[str, float] | None = None) -> None:
         """checkpoint_latest (+ optional numbered) — ≙ train.py:629-654.
         Master-only (≙ train.py:631-633).  The device snapshot is synchronous
@@ -455,15 +471,9 @@ class Trainer:
         self._join_pending_saves()
         t0 = time.time()
         metrics = metrics or self.last_metrics
-        self._pending_saves.append(
-            save_checkpoint_async(self.out_dir, "checkpoint_latest", self.state, self.cfg, metrics)
-        )
+        self._save_one("checkpoint_latest", metrics)
         if self.cfg.training.save_numbered_checkpoints:
-            self._pending_saves.append(
-                save_checkpoint_async(
-                    self.out_dir, f"checkpoint_{self.iter_num:07d}", self.state, self.cfg, metrics
-                )
-            )
+            self._save_one(f"checkpoint_{self.iter_num:07d}", metrics)
         self.logger.info("Checkpoint snapshot time: %.2f sec", time.time() - t0)
 
     def save_best(self, metrics: dict[str, float]) -> None:
@@ -473,9 +483,7 @@ class Trainer:
         if not self.is_master:
             return
         self._join_pending_saves()
-        self._pending_saves.append(
-            save_checkpoint_async(self.out_dir, "checkpoint_best", self.state, self.cfg, metrics)
-        )
+        self._save_one("checkpoint_best", metrics)
         self._maybe_log_artifact()
 
     def _maybe_log_artifact(self) -> None:

@@ -53,21 +53,12 @@ def main():
     fwd = jax.jit(lambda p, x, y: loss_fn(p, x, y, 0)[0])
     timeit("fwd_only", fwd, state.params, imgs, labels, sync=lambda o: o)
 
-    # fwd+bwd without donation OOMs at B=32 (params can't be freed during the
-    # residual peak) — donate a throwaway params copy instead
-    grad = jax.jit(
-        lambda p, x, y: jax.value_and_grad(lambda pp: loss_fn(pp, x, y, 0)[0])(p),
-        donate_argnums=0,
-    )
-    import jax as _jax
-    copy_p = _jax.jit(lambda p: _jax.tree_util.tree_map(lambda a: a + 0, p))
+    # fwd+bwd is derived as full_step - fwd_only - update_only: timing a
+    # standalone grad program queues N undonated 0.5 GB grad outputs and OOMs
+    grads = jax.jit(
+        lambda p, x, y: jax.grad(lambda pp: loss_fn(pp, x, y, 0)[0])(p)
+    )(state.params, imgs, labels)
 
-    def grad_fresh(x, y):
-        return grad(copy_p(state.params), x, y)
-
-    timeit("fwd_plus_bwd", grad_fresh, imgs, labels, sync=lambda o: o[0])
-
-    _, grads = grad_fresh(imgs, labels)
     upd = jax.jit(
         lambda p, g, s: fused_adamw_renorm_update(cfg.optimizer, p, g, s, renorm=True)
     )
@@ -77,8 +68,22 @@ def main():
         sync=lambda o: jnp.sum(o[0]["sz"]) if "sz" in o[0] else o[1].count,
     )
 
-    step = jax.jit(make_train_step(cfg))  # no donation: state reused across calls
-    timeit("full_step", step, state, imgs, labels, sync=lambda o: o[1]["total_loss"])
+    del grads, opt_state  # ~1.4 GB retained from earlier stages — free before the full step
+
+    # full step: donate and CARRY the state like the training loop — undonated
+    # timing queues N 1.9 GB state outputs in flight and OOMs
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    st = state
+    st, m = step(st, imgs, labels)
+    float(m["total_loss"])
+    st, m = step(st, imgs, labels)
+    float(m["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        st, m = step(st, imgs, labels)
+    float(m["total_loss"])
+    dt = (time.perf_counter() - t0) / STEPS * 1000
+    print(f"full_step: {dt:.2f} ms", flush=True)
     print("DONE", flush=True)
 
 
