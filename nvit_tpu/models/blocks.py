@@ -97,9 +97,17 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
     h_in = h
 
     x = h if cfg.use_nvit else rms_norm(h, p["rmsnorm_att"])
-    q = _split_heads(linear(p["query"], x, compute_dtype=dt), cfg.n_head)
-    k = _split_heads(linear(p["key"], x, compute_dtype=dt), cfg.n_head)
-    v = _split_heads(linear(p["value"], x, compute_dtype=dt), cfg.n_head)
+    # fused QKV projection: concatenating the three [d, d] weights (a 7 MB
+    # copy) lets one matmul read the [B, T, d] activation once instead of
+    # three times, and the backward produces dx in one matmul instead of
+    # three-plus-adds.  Params stay separate (checkpoint/renorm parity);
+    # autodiff slices the weight gradient back apart.
+    w_qkv = jnp.concatenate([p["query"]["w"], p["key"]["w"], p["value"]["w"]], axis=1)
+    p_qkv: Params = {"w": w_qkv}
+    if "b" in p["query"]:
+        p_qkv["b"] = jnp.concatenate([p["query"]["b"], p["key"]["b"], p["value"]["b"]])
+    qkv = linear(p_qkv, x, compute_dtype=dt)
+    q, k, v = (_split_heads(t, cfg.n_head) for t in jnp.split(qkv, 3, axis=-1))
 
     sqrt_hd = math.sqrt(cfg.head_dim)
     if cfg.use_nvit:
@@ -121,14 +129,22 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
         h = x + h_att
 
     x = h if cfg.use_nvit else rms_norm(h, p["rmsnorm_mlp"])
-    uv = linear(p["c_fc"], x, compute_dtype=dt)
     if cfg.use_nvit:
+        # weight-side suv gating: suv·(x@W) ≡ x@(W·suv), so scale the
+        # [d, 8d] weight COLUMNS (4.7M elements, fp32) instead of the
+        # [B, T, 8d] activation tensor (~308 MB bf16 at the flagship shape).
+        # The fwd elementwise pass over the 8d-wide tensor disappears, and the
+        # d(suv) backward becomes a weight-sized reduction Σ_in(dW_eff ⊙ W)
+        # instead of two full passes over the activation tensor
+        # (≙ reference model.py:147-151, which scales activations — the
+        # flash-attn library it leans on does the analogous fold for sqk).
         suv_eff = p["suv"] * ((SUV_INIT_VALUE / SUV_INIT_SCALING) * math.sqrt(cfg.n_embd))
-        # under the bf16 policy the gate stays in bf16 (suv_eff ≈ √d·1 is well
-        # inside bf16 range; an fp32 upcast here would cost ~1.5 GB/block of
-        # HBM traffic on the 8d-wide tensor); fp32 mode keeps fp32 exactly
-        suv_eff = suv_eff.astype(uv.dtype) if dt is not None else suv_eff
-        uv = (suv_eff * uv.astype(suv_eff.dtype)).astype(uv.dtype)
+        c_fc_eff: Params = {"w": p["c_fc"]["w"] * suv_eff}
+        if "b" in p["c_fc"]:
+            c_fc_eff["b"] = p["c_fc"]["b"] * suv_eff
+        uv = linear(c_fc_eff, x, compute_dtype=dt)
+    else:
+        uv = linear(p["c_fc"], x, compute_dtype=dt)
     u, v_gate = jnp.split(uv, 2, axis=-1)
     x_mlp = u * jax.nn.silu(v_gate)
     h_mlp = linear(p["mlp_c_proj"], x_mlp, compute_dtype=dt)
@@ -173,8 +189,13 @@ def cross_attention_apply(
         global_ = rms_norm(global_, p["global_norm"])
 
     q = _split_heads(linear(p["q_local"], local, compute_dtype=dt), cfg.n_head)
-    k = _split_heads(linear(p["k_global"], global_, compute_dtype=dt), cfg.n_head)
-    v = _split_heads(linear(p["v_global"], global_, compute_dtype=dt), cfg.n_head)
+    # fused KV projection — K and V both read the global stream; one matmul
+    # reads it once (see the QKV fuse in block_apply)
+    p_kv: Params = {"w": jnp.concatenate([p["k_global"]["w"], p["v_global"]["w"]], axis=1)}
+    if "b" in p["k_global"]:
+        p_kv["b"] = jnp.concatenate([p["k_global"]["b"], p["v_global"]["b"]])
+    kv = linear(p_kv, global_, compute_dtype=dt)
+    k, v = (_split_heads(t, cfg.n_head) for t in jnp.split(kv, 2, axis=-1))
 
     sqrt_hd = math.sqrt(cfg.head_dim)
     if cfg.use_nvit:
