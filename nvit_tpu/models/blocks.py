@@ -31,6 +31,7 @@ from nvit_tpu.core.layers import c_proj_std, init_linear, linear
 from nvit_tpu.core.norms import rms_norm
 from nvit_tpu.core.residual import slerp_residual
 from nvit_tpu.ops.attention import attention, attention_qknorm
+from nvit_tpu.ops.gated_mlp import gated_mlp
 
 Params = dict[str, Any]
 
@@ -76,6 +77,20 @@ def _merge_heads(x: Array) -> Array:
     """[B, H, T, D] → [B, T, C]."""
     b, h, t, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def _gated_linear(p: Params, x: Array, *, compute_dtype: Any, use_kernel: bool) -> Array:
+    """``u * silu(v)`` over ``x @ w (+ b)`` — the gated projection shared by
+    the MLP (model.py:148-155) and CrossAttentionBlock's output (model.py:
+    258-262).  Casting contract matches core.layers.linear; dispatches to the
+    fused Pallas kernel (ops/gated_mlp.py) so the double-width ``uv`` tensor
+    never round-trips HBM."""
+    w, b = p["w"], p.get("b")
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        b = b.astype(compute_dtype) if b is not None else None
+    return gated_mlp(x, w, b, use_kernel=use_kernel)
 
 
 def _sqk_eff(sqk: Array, cfg: ViTConfig) -> Array:
@@ -142,11 +157,9 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
         c_fc_eff: Params = {"w": p["c_fc"]["w"] * suv_eff}
         if "b" in p["c_fc"]:
             c_fc_eff["b"] = p["c_fc"]["b"] * suv_eff
-        uv = linear(c_fc_eff, x, compute_dtype=dt)
     else:
-        uv = linear(p["c_fc"], x, compute_dtype=dt)
-    u, v_gate = jnp.split(uv, 2, axis=-1)
-    x_mlp = u * jax.nn.silu(v_gate)
+        c_fc_eff = p["c_fc"]
+    x_mlp = _gated_linear(c_fc_eff, x, compute_dtype=dt, use_kernel=cfg.flash_attn)
     h_mlp = linear(p["mlp_c_proj"], x_mlp, compute_dtype=dt)
 
     if cfg.use_nvit:
@@ -205,9 +218,7 @@ def cross_attention_apply(
     else:
         att = attention(q, k, v, 1.0 / sqrt_hd, use_flash=cfg.flash_attn)
 
-    out = linear(p["proj"], _merge_heads(att), compute_dtype=dt)
-    u, v_gate = jnp.split(out, 2, axis=-1)
-    out = u * jax.nn.silu(v_gate)
+    out = _gated_linear(p["proj"], _merge_heads(att), compute_dtype=dt, use_kernel=cfg.flash_attn)
     out = linear(p["out_proj"], out, compute_dtype=dt)
 
     if cfg.use_nvit:

@@ -26,6 +26,7 @@ The public entry ``flash_attention(q, k, v, scale)`` is differentiable
 from __future__ import annotations
 
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -37,18 +38,37 @@ LANE = 128
 NEG_INF = -1e30
 
 
-def _pad_len(t: int) -> int:
-    return ((t + LANE - 1) // LANE) * LANE
+def _pad_len(t: int, dtype: Any = None) -> int:
+    """HBM padding for the sequence axis.
+
+    The single-tile kernels (full-T forward q-tiles, fused backward) only
+    need SUBLANE alignment on T (8 fp32 / 16 bf16): the [T, T] score tile's
+    lane dimension is an in-VMEM intermediate that Mosaic pads internally at
+    zero HBM cost.  Explicitly padding to the 128 lane multiple instead
+    forces a pad/unpad copy of every q/k/v/g/o tensor around every kernel
+    call — measured ~10 ms/step at the flagship T=784 (which is 16-aligned
+    already, so no copy at all).  The long-T multi-tile path still pads to
+    128 so the q-tile grid divides evenly."""
+    lane = ((t + LANE - 1) // LANE) * LANE
+    if dtype is None:
+        return lane
+    sub = 8 if jnp.dtype(dtype).itemsize >= 4 else 16
+    t_sub = ((t + sub - 1) // sub) * sub
+    return t_sub if t_sub <= _FUSED_BWD_MAX_T else lane
 
 
 def _pick_block_q(t_pad: int, cap: int = 512) -> int:
-    """Largest 128-multiple divisor of t_pad ≤ cap.
+    """Q-tile rows: full-T when it fits the cap (single program per bh —
+    t_pad then only needs sublane alignment), else the largest 128-multiple
+    divisor of t_pad ≤ cap.
 
     Per-program overhead (~2 µs) dominates at tiny tiles: at T=896 a 128-row
     tile means 2688 programs per call; a 448-row tile cuts that 3.5× while
     the fp32 [BQ, T] softmax scratch (448×896×4 B ≈ 1.6 MB) still fits VMEM
     alongside K/V and the bwd temporaries.  The forward kernel (one [BQ, T]
     fp32 buffer live) can afford full-T tiles up to 1024."""
+    if t_pad <= cap:
+        return t_pad
     for cand in (1024, 896, 768, 640, 512, 448, 384, 256, 128):
         if cand <= cap and t_pad % cand == 0:
             return cand
@@ -309,8 +329,8 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     """Fused non-causal attention.  q/k/v: [B, H, T, D] (same T for q and kv
     in this model); returns [B, H, T, D] in v.dtype."""
     b, h, t, d = q.shape
-    t_pad = _pad_len(t)
     dtype = v.dtype
+    t_pad = _pad_len(t, dtype)
 
     def prep(x):
         x = x.astype(dtype).reshape(b * h, t, d)
@@ -319,7 +339,9 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
         return x
 
     o = _flash_padded(prep(q), prep(k), prep(v), (float(scale), t))
-    return o[:, :t, :].reshape(b, h, t, d)
+    if t_pad != t:
+        o = o[:, :t, :]
+    return o.reshape(b, h, t, d)
 
 
 # ----------------------------------------------- fused QK-norm (nViT) variant
@@ -510,8 +532,8 @@ def flash_attention_qknorm(q: Array, k: Array, v: Array, sqk_eff: Array, scale: 
     Long sequences (t_pad > fused-backward limit) fall back to the XLA
     projection + the plain flash kernels."""
     b, h, t, d = q.shape
-    t_pad = _pad_len(t)
     dtype = v.dtype
+    t_pad = _pad_len(t, dtype)
 
     if t_pad > _FUSED_BWD_MAX_T:
         s_bc = sqk_eff.reshape(1, h, 1, d)
@@ -533,4 +555,6 @@ def flash_attention_qknorm(q: Array, k: Array, v: Array, sqk_eff: Array, scale: 
         sqk_eff.astype(jnp.float32).reshape(1, h, 1, d), (b, h, 1, d)
     ).reshape(b * h, 1, d)
     o = _flash_qknorm_padded(prep(q), prep(k), prep(v), s3, (float(scale), t))
-    return o[:, :t, :].reshape(b, h, t, d)
+    if t_pad != t:
+        o = o[:, :t, :]
+    return o.reshape(b, h, t, d)

@@ -1,0 +1,190 @@
+"""Fused gated-MLP (matmul + u·SiLU(v)) Pallas kernel for TPU.
+
+≙ reference model.py:148-155 (``c_fc`` → chunk(2) → ``u * silu(v)``) — but the
+reference materializes the 8d-wide ``uv`` tensor in GPU memory between the
+matmul and the gate; at the flagship shape that tensor is [32, 784, 6144]
+bf16 ≈ 308 MB per block, round-tripped through HBM twice per forward
+(matmul write + gate read) and again in the backward.  XLA cannot fuse it
+away either: the gate reads two disjoint column halves of the matmul output,
+which defeats output fusion, and the backward needs u/v again.
+
+This kernel computes ``x @ [Wu | Wv]`` tile-by-tile in VMEM and applies the
+gate in-register, writing ONLY the half-width result:
+
+    fwd : reads x, Wu, Wv → writes u·silu(v)        (uv never touches HBM)
+    bwd : recomputes the uv tile from (x, Wu, Wv) in VMEM and writes
+          du = g·silu(v), dv = g·u·silu'(v) directly — the MXU recompute
+          replaces an HBM round-trip, the right trade on a
+          bandwidth-bound step (BASELINE.md: 169 GB/step vs 21.8 TFLOP).
+          dWu/dWv/dx remain plain XLA matmuls over du/dv.
+
+Accumulation and the gate run in fp32; inputs/outputs are the compute dtype
+(bf16 policy).  Shapes that don't tile cleanly (tests, tiny configs) fall
+back to the identical-semantics XLA path; numerics are asserted against it
+in tests/test_gated_mlp.py (interpret mode) and scripts/tpu_flash_parity.py
+(real Mosaic).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Forward tiles: rows innermost in the grid so each W column-tile is fetched
+# once and x streams; [512, 1024] fp32 gate intermediates keep VMEM ≈ 14 MB.
+_FWD_ROW, _FWD_COL = 512, 1024
+# Backward holds g + two outputs too — halve the row tile.
+_BWD_ROW, _BWD_COL = 256, 1024
+
+
+def _pick(total: int, cap: int) -> int | None:
+    for cand in (cap, cap // 2, cap // 4, 128):
+        if cand >= 128 and total % cand == 0:
+            return cand
+    return None
+
+
+def _silu(v32: Array) -> Array:
+    return v32 * jax.nn.sigmoid(v32)
+
+
+# --------------------------------------------------------------------- fwd
+def _fwd_kernel(x_ref, wu_ref, wv_ref, o_ref):
+    x = x_ref[...]
+    u = jax.lax.dot_general(
+        x, wu_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    v = jax.lax.dot_general(
+        x, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = (u * _silu(v)).astype(o_ref.dtype)
+
+
+def _fwd(x2: Array, wu: Array, wv: Array) -> Array:
+    n, k = x2.shape
+    h = wu.shape[1]
+    row, col = _pick(n, _FWD_ROW), _pick(h, _FWD_COL)
+    grid = (h // col, n // row)  # rows innermost: W tile fetched once per col
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row, col), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * k * h,
+            bytes_accessed=(n * k + 2 * k * h + n * h) * x2.dtype.itemsize,
+            transcendentals=n * h,
+        ),
+    )(x2, wu, wv)
+
+
+# --------------------------------------------------------------------- bwd
+def _bwd_kernel(x_ref, wu_ref, wv_ref, g_ref, du_ref, dv_ref):
+    x = x_ref[...]
+    u = jax.lax.dot_general(
+        x, wu_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    v = jax.lax.dot_general(
+        x, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    g = g_ref[...].astype(jnp.float32)
+    sig = jax.nn.sigmoid(v)
+    sv = v * sig
+    du_ref[...] = (g * sv).astype(du_ref.dtype)
+    # d silu(v)/dv = sig·(1 + v·(1 − sig))
+    dv_ref[...] = (g * u * sig * (1.0 + v * (1.0 - sig))).astype(dv_ref.dtype)
+
+
+def _bwd_duv(x2: Array, wu: Array, wv: Array, g: Array) -> tuple[Array, Array]:
+    n, k = x2.shape
+    h = wu.shape[1]
+    row, col = _pick(n, _BWD_ROW), _pick(h, _BWD_COL)
+    grid = (h // col, n // row)
+    spec_x = pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((row, col), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[spec_x, spec_w, spec_w, spec_o],
+        out_specs=[spec_o, spec_o],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * k * h,
+            bytes_accessed=(n * k + 2 * k * h + 3 * n * h) * x2.dtype.itemsize,
+            transcendentals=n * h,
+        ),
+    )(x2, wu, wv, g)
+
+
+# ------------------------------------------------------------------ wrapper
+@jax.custom_vjp
+def _gated_core(x2: Array, wu: Array, wv: Array) -> Array:
+    return _fwd(x2, wu, wv)
+
+
+def _core_fwd(x2, wu, wv):
+    return _fwd(x2, wu, wv), (x2, wu, wv)
+
+
+def _core_bwd(saved, g):
+    x2, wu, wv = saved
+    du, dv = _bwd_duv(x2, wu, wv, g.astype(x2.dtype))
+    dwu = jax.lax.dot_general(
+        x2, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(wu.dtype)
+    dwv = jax.lax.dot_general(
+        x2, dv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(wv.dtype)
+    dx = jax.lax.dot_general(du, wu, (((1,), (1,)), ((), ()))) + jax.lax.dot_general(
+        dv, wv, (((1,), (1,)), ((), ()))
+    )
+    return dx.astype(x2.dtype), dwu, dwv
+
+
+_gated_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _xla_gated(x: Array, w: Array, b: Array | None) -> Array:
+    uv = x @ w
+    if b is not None:
+        uv = uv + b.astype(uv.dtype)
+    u, v = jnp.split(uv, 2, axis=-1)
+    return u * jax.nn.silu(v)
+
+
+def _tileable(n: int, k: int, h: int) -> bool:
+    return n % 128 == 0 and k % 128 == 0 and h % 256 == 0
+
+
+def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = True) -> Array:
+    """``u * silu(v)`` where ``[u | v] = x @ w (+ b)``; w is [K, 2H].
+
+    ``x``/``w`` must already be in the compute dtype (the caller casts — same
+    contract as core.layers.linear).  Dispatches to the fused Pallas kernel
+    when the shapes tile cleanly, there is no bias, and ``use_kernel`` is set
+    (the flash_attn knob gates all Pallas paths); falls back to the
+    identical-semantics XLA chain otherwise.
+    """
+    *lead, k = x.shape
+    h = w.shape[1] // 2
+    n = 1
+    for d_ in lead:
+        n *= d_
+    if not use_kernel or b is not None or not _tileable(n, k, h):
+        return _xla_gated(x, w, b)
+    x2 = x.reshape(n, k)
+    wu, wv = w[:, :h], w[:, h:]
+    out = _gated_core(x2, wu, wv)
+    return out.reshape(*lead, h)

@@ -28,6 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from nvit_tpu.ops.attention import qknorm_project_xla, sdpa_xla  # noqa: E402
 from nvit_tpu.ops.flash_attention import flash_attention, flash_attention_qknorm  # noqa: E402
+from nvit_tpu.ops.gated_mlp import _gated_core, _xla_gated  # noqa: E402
 
 B, H, T, D = 2, 12, 784, 64
 SCALE = float(np.sqrt(D))  # the nViT scale — harder on the softmax than 1/sqrt(d)
@@ -89,6 +90,31 @@ def main() -> int:
     gx = jax.jit(jax.grad(loss_xq, argnums=(0, 1, 2, 3)))(q, k, v, sqk)
     for name, a, b in zip(("q", "k", "v", "sqk"), gf, gx):
         ok &= record(f"qknorm_grad_d{name}_bf16", a, b, 3e-2)
+
+    # ---- fused gated-MLP kernel: fwd + grads (flagship MLP shape) ----
+    n, kdim, hdim = 1024, 768, 3072
+    x = jax.random.normal(ks[5], (n, kdim), jnp.bfloat16)
+    kw1, kw2 = jax.random.split(jax.random.PRNGKey(7))
+    wu = (0.05 * jax.random.normal(kw1, (kdim, hdim))).astype(jnp.bfloat16)
+    wv = (0.05 * jax.random.normal(kw2, (kdim, hdim))).astype(jnp.bfloat16)
+    gm = jax.random.normal(jax.random.PRNGKey(8), (n, hdim), jnp.float32)
+
+    out_f = jax.jit(_gated_core)(x, wu, wv)
+    out_x = jax.jit(lambda x, wu, wv: _xla_gated(x, jnp.concatenate([wu, wv], 1), None))(x, wu, wv)
+    ok &= record("gated_mlp_fwd_bf16", out_f, out_x, 2e-2)
+
+    def loss_gm_f(x, wu, wv):
+        return jnp.sum(_gated_core(x, wu, wv).astype(jnp.float32) * gm)
+
+    def loss_gm_x(x, wu, wv):
+        return jnp.sum(
+            _xla_gated(x, jnp.concatenate([wu, wv], 1), None).astype(jnp.float32) * gm
+        )
+
+    gf = jax.jit(jax.grad(loss_gm_f, argnums=(0, 1, 2)))(x, wu, wv)
+    gx = jax.jit(jax.grad(loss_gm_x, argnums=(0, 1, 2)))(x, wu, wv)
+    for name, a, b in zip(("x", "wu", "wv"), gf, gx):
+        ok &= record(f"gated_mlp_grad_d{name}_bf16", a, b, 3e-2)
 
     print(("ALL_PASS" if ok else "SOME_FAILED") + f" ({len(checks)} checks)", flush=True)
     return 0 if ok else 1

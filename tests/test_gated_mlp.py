@@ -1,0 +1,103 @@
+"""Fused gated-MLP kernel tests (interpret mode on CPU): forward and gradient
+parity vs the XLA chain, tiling dispatch, bf16 behavior.
+
+≙ reference model.py:148-155 (MLP gate) and model.py:258-262 (cross-attn
+gated projection) — the kernel must be numerically interchangeable with the
+plain matmul→split→u·silu(v) chain it replaces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from nvit_tpu.ops.gated_mlp import _tileable, _xla_gated, gated_mlp
+
+
+def rand(key, n=256, k=128, h2=512, dtype=jnp.float32):
+    kx, kw = jax.random.split(jax.random.PRNGKey(key))
+    x = jax.random.normal(kx, (n, k), dtype)
+    w = 0.1 * jax.random.normal(kw, (k, h2), dtype)
+    return x, w
+
+
+@pytest.mark.parametrize("n,k,h2", [(256, 128, 512), (128, 256, 1024)])
+def test_forward_matches_xla(n, k, h2):
+    x, w = rand(0, n, k, h2)
+    with pltpu.force_tpu_interpret_mode():
+        out = gated_mlp(x, w)
+    ref = _xla_gated(x, w, None)
+    assert out.shape == (n, h2 // 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_forward_leading_dims():
+    x, w = rand(1, 256, 128, 512)
+    x3 = x.reshape(2, 128, 128)
+    with pltpu.force_tpu_interpret_mode():
+        out = gated_mlp(x3, w)
+    ref = _xla_gated(x3, w, None)
+    assert out.shape == (2, 128, 256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_gradients_match_xla():
+    x, w = rand(2, 256, 128, 512)
+
+    def loss_kernel(x, w):
+        return jnp.sum(jnp.square(gated_mlp(x, w)))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.square(_xla_gated(x, w, None)))
+
+    with pltpu.force_tpu_interpret_mode():
+        gx, gw = jax.grad(loss_kernel, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=3e-5, atol=3e-5)
+
+
+def test_bf16_dtype_and_tolerance():
+    x, w = rand(3, 256, 128, 512, dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = gated_mlp(x, w)
+    ref = _xla_gated(x, w, None)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_fallback_paths_are_exact():
+    # non-tileable shape → XLA path, bit-identical to the reference chain
+    x, w = rand(4, n=100, k=96, h2=120)
+    assert not _tileable(100, 96, 60)
+    out = gated_mlp(x, w)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(_xla_gated(x, w, None)))
+
+    # bias present → XLA path (kernel does not take bias)
+    x, w = rand(5)
+    b = jnp.ones((w.shape[1],), jnp.float32)
+    out_b = gated_mlp(x, w, b)
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(_xla_gated(x, w, b)))
+
+    # use_kernel=False → XLA path even for tileable shapes
+    out_k = gated_mlp(x, w, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(_xla_gated(x, w, None)))
+
+
+def test_grad_flows_through_weight_scale():
+    # suv-style weight-column scaling composes with the custom VJP
+    x, w = rand(6, 256, 128, 512)
+    s = 1.0 + 0.01 * jnp.arange(w.shape[1], dtype=jnp.float32)
+
+    def loss_kernel(s):
+        return jnp.sum(gated_mlp(x, w * s))
+
+    def loss_ref(s):
+        return jnp.sum(_xla_gated(x, w * s, None))
+
+    with pltpu.force_tpu_interpret_mode():
+        gs = jax.grad(loss_kernel)(s)
+    rs = jax.grad(loss_ref)(s)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=3e-5, atol=3e-5)
