@@ -123,7 +123,15 @@ def bmu(nodes: Array, x: Array) -> tuple[Array, Array]:
     n32 = nodes_mm.astype(jnp.float32)
     nsq = jnp.sum(n32 * n32, axis=-1)
     indices = jnp.argmin(nsq - 2.0 * cross, axis=-1)
-    node_repr = jnp.take(nodes, indices, axis=0)
+    # Gather as a one-hot matmul: identical values (the fp32-accumulated sum
+    # has exactly one nonzero term), but the BACKWARD becomes
+    # one_hotᵀ @ d(repr) — an MXU matmul — instead of a [S → N] scatter-add,
+    # which XLA:TPU serializes.  Also keeps node_repr in the activation dtype
+    # end-to-end instead of materializing an [S, d] fp32 gather.
+    one_hot = jax.lax.stop_gradient(jax.nn.one_hot(indices, nodes.shape[0], dtype=x.dtype))
+    node_repr = jnp.einsum(
+        "...sn,nd->...sd", one_hot, nodes_mm, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
     return node_repr, indices
 
 
