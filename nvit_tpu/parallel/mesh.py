@@ -58,6 +58,14 @@ def block_param_specs(use_nvit: bool) -> Params:
     output projections: row-parallel (shard the IN axis → model);
     per-channel scale vectors follow the axis they broadcast against where
     sharded, else replicated.
+
+    Known TP nuance: the gated MLP splits c_fc's output columns into the
+    contiguous u|v halves (reference weight layout, model.py:148-151), so a
+    contiguous column shard puts u and v on different devices; GSPMD inserts
+    the reshard collective automatically (correct, verified by the dp×tp
+    dryrun/tests).  A comms-free Megatron-SwiGLU layout would interleave the
+    halves per shard — deferred until real multi-chip hardware is available
+    to measure it.
     """
     col = {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)}
     row = {"w": P(MODEL_AXIS, None), "b": P()}
