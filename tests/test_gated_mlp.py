@@ -101,3 +101,21 @@ def test_grad_flows_through_weight_scale():
         gs = jax.grad(loss_kernel)(s)
     rs = jax.grad(loss_ref)(s)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=3e-5, atol=3e-5)
+
+
+def test_flagship_shapes_dispatch_to_kernel():
+    """Regression guard: the nViT-B/16 flagship MLP ([B·T, d] @ [d, 8d]) and
+    cross-attention gate ([B·T, d] @ [d, 2d]) must hit the Pallas kernel, and
+    the flagship sequence length must take the zero-pad path (T=784 is
+    sublane-aligned for bf16)."""
+    import jax.numpy as jnp
+
+    from nvit_tpu.ops.flash_attention import _pad_len, _pick_block_q
+
+    assert _tileable(32 * 784, 768, 3072)  # MLP gate
+    assert _tileable(32 * 784, 768, 768)  # cross-attn gate
+    # attention: no HBM pad at the flagship T, single full-T q-tile
+    assert _pad_len(784, jnp.bfloat16) == 784
+    assert _pick_block_q(784, cap=1024) == 784
+    # long-T still lane-pads for the two-kernel tiled backward
+    assert _pad_len(1500, jnp.bfloat16) == 1536
