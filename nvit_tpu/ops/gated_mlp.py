@@ -168,6 +168,18 @@ def _tileable(n: int, k: int, h: int) -> bool:
     return n % 128 == 0 and k % 128 == 0 and h % 256 == 0
 
 
+def _on_tpu() -> bool:
+    """Mosaic kernels need a real TPU backend — same guard as
+    ops/attention.py, so a flash_attn=True config still runs on CPU
+    hosts/tests via the XLA fallback.  (Kernel-parity tests exercise
+    ``_gated_core`` directly under ``force_tpu_interpret_mode``, mirroring
+    how the flash-attention tests call the kernel past the dispatcher.)"""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing should not fail
+        return False
+
+
 def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = True) -> Array:
     """``u * silu(v)`` where ``[u | v] = x @ w (+ b)``; w is [K, 2H].
 
@@ -182,7 +194,7 @@ def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = 
     n = 1
     for d_ in lead:
         n *= d_
-    if not use_kernel or b is not None or not _tileable(n, k, h):
+    if not use_kernel or b is not None or not _tileable(n, k, h) or not _on_tpu():
         return _xla_gated(x, w, b)
     x2 = x.reshape(n, k)
     wu, wv = w[:, :h], w[:, h:]

@@ -34,7 +34,7 @@ def report(tag, compiled):
     tf = ca.get("flops", 0.0) / 1e12
     tr = ca.get("transcendentals", 0.0) / 1e9
     print(f"{tag}: bytes={gb:.1f} GB (floor {gb / 0.819:.1f} ms) "
-          f"flops={tf:.2f} TF (floor {tf / 0.197 * 1000:.1f} ms) "
+          f"flops={tf:.2f} TF (floor {tf / 0.197:.1f} ms at 197 TFLOP/s) "
           f"transcendentals={tr:.2f} G", flush=True)
     return gb, tf
 
@@ -49,7 +49,8 @@ def main():
     labels = jnp.zeros((B,), jnp.int32)
 
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
-    report("full_step", step.lower(state, imgs, labels).compile())
+    step_compiled = step.lower(state, imgs, labels).compile()
+    report("full_step", step_compiled)
 
     loss_fn = make_loss_fn(cfg)
     fwd = jax.jit(lambda p, x, y: loss_fn(p, x, y, 0)[0])
@@ -64,7 +65,7 @@ def main():
     report("update_only", upd.lower(state.params, grads, opt_state).compile())
 
     try:
-        ma = step.lower(state, imgs, labels).compile().memory_analysis()
+        ma = step_compiled.memory_analysis()
         print("peak HBM temp (GB):", ma.temp_size_in_bytes / 1e9)
     except Exception as e:  # noqa: BLE001
         print("memory_analysis unavailable:", e)

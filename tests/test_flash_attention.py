@@ -83,11 +83,25 @@ def test_long_sequence_two_kernel_backward():
 
 
 def test_padding_does_not_leak():
-    """T=100 pads to 128; results must be identical to an unpadded T=128 run
-    restricted to the first 100 positions with the same content."""
+    """T=100 fp32 pads to the 104 sublane multiple (dtype-aware _pad_len);
+    the masked pad keys/queries must not leak into the first 100 positions."""
     q, k, v = rand_qkv(3, t=100)
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention(q, k, v, 0.3)
+    ref = sdpa_xla(q, k, v, 0.3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_lane_padding_does_not_leak():
+    """Force the 128-lane pad path through the single-tile kernels by calling
+    the padded core directly with t_pad=128 > t_actual=100 (the public
+    wrapper now prefers the sublane pad for short T)."""
+    from nvit_tpu.ops.flash_attention import _flash_padded
+
+    q, k, v = rand_qkv(8, b=1, h=2, t=100, d=32)
+    qp, kp, vp = (jnp.pad(x.reshape(2, 100, 32), ((0, 0), (0, 28), (0, 0))) for x in (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_padded(qp, kp, vp, (0.3, 100))[:, :100, :].reshape(1, 2, 100, 32)
     ref = sdpa_xla(q, k, v, 0.3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
     assert out.shape == q.shape

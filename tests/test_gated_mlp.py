@@ -3,7 +3,14 @@ parity vs the XLA chain, tiling dispatch, bf16 behavior.
 
 ≙ reference model.py:148-155 (MLP gate) and model.py:258-262 (cross-attn
 gated projection) — the kernel must be numerically interchangeable with the
-plain matmul→split→u·silu(v) chain it replaces."""
+plain matmul→split→u·silu(v) chain it replaces.
+
+The public ``gated_mlp`` dispatcher only takes the Pallas path on a real TPU
+backend (same guard as ops/attention.py), so — mirroring the flash-attention
+tests — kernel parity is asserted on ``_gated_core`` directly under
+``force_tpu_interpret_mode``; the dispatcher's fallback contract is tested
+separately.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +18,7 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
-from nvit_tpu.ops.gated_mlp import _tileable, _xla_gated, gated_mlp
+from nvit_tpu.ops.gated_mlp import _gated_core, _tileable, _xla_gated, gated_mlp
 
 
 def rand(key, n=256, k=128, h2=512, dtype=jnp.float32):
@@ -21,23 +28,18 @@ def rand(key, n=256, k=128, h2=512, dtype=jnp.float32):
     return x, w
 
 
+def core(x, w):
+    h = w.shape[1] // 2
+    return _gated_core(x, w[:, :h], w[:, h:])
+
+
 @pytest.mark.parametrize("n,k,h2", [(256, 128, 512), (128, 256, 1024)])
 def test_forward_matches_xla(n, k, h2):
     x, w = rand(0, n, k, h2)
     with pltpu.force_tpu_interpret_mode():
-        out = gated_mlp(x, w)
+        out = core(x, w)
     ref = _xla_gated(x, w, None)
     assert out.shape == (n, h2 // 2)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
-
-
-def test_forward_leading_dims():
-    x, w = rand(1, 256, 128, 512)
-    x3 = x.reshape(2, 128, 128)
-    with pltpu.force_tpu_interpret_mode():
-        out = gated_mlp(x3, w)
-    ref = _xla_gated(x3, w, None)
-    assert out.shape == (2, 128, 256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
 
 
@@ -45,7 +47,7 @@ def test_gradients_match_xla():
     x, w = rand(2, 256, 128, 512)
 
     def loss_kernel(x, w):
-        return jnp.sum(jnp.square(gated_mlp(x, w)))
+        return jnp.sum(jnp.square(core(x, w)))
 
     def loss_ref(x, w):
         return jnp.sum(jnp.square(_xla_gated(x, w, None)))
@@ -60,30 +62,12 @@ def test_gradients_match_xla():
 def test_bf16_dtype_and_tolerance():
     x, w = rand(3, 256, 128, 512, dtype=jnp.bfloat16)
     with pltpu.force_tpu_interpret_mode():
-        out = gated_mlp(x, w)
+        out = core(x, w)
     ref = _xla_gated(x, w, None)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
-
-
-def test_fallback_paths_are_exact():
-    # non-tileable shape → XLA path, bit-identical to the reference chain
-    x, w = rand(4, n=100, k=96, h2=120)
-    assert not _tileable(100, 96, 60)
-    out = gated_mlp(x, w)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(_xla_gated(x, w, None)))
-
-    # bias present → XLA path (kernel does not take bias)
-    x, w = rand(5)
-    b = jnp.ones((w.shape[1],), jnp.float32)
-    out_b = gated_mlp(x, w, b)
-    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(_xla_gated(x, w, b)))
-
-    # use_kernel=False → XLA path even for tileable shapes
-    out_k = gated_mlp(x, w, use_kernel=False)
-    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(_xla_gated(x, w, None)))
 
 
 def test_grad_flows_through_weight_scale():
@@ -92,7 +76,7 @@ def test_grad_flows_through_weight_scale():
     s = 1.0 + 0.01 * jnp.arange(w.shape[1], dtype=jnp.float32)
 
     def loss_kernel(s):
-        return jnp.sum(gated_mlp(x, w * s))
+        return jnp.sum(core(x, w * s))
 
     def loss_ref(s):
         return jnp.sum(_xla_gated(x, w * s, None))
@@ -103,13 +87,35 @@ def test_grad_flows_through_weight_scale():
     np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=3e-5, atol=3e-5)
 
 
+def test_dispatcher_fallback_is_exact_off_tpu():
+    """On a non-TPU backend the dispatcher must use the XLA chain bit-for-bit
+    for every input class — tileable shapes, non-tileable shapes, bias,
+    use_kernel=False, and leading batch dims."""
+    x, w = rand(4, n=256, k=128, h2=512)  # tileable → still XLA off-TPU
+    np.testing.assert_array_equal(np.asarray(gated_mlp(x, w)), np.asarray(_xla_gated(x, w, None)))
+
+    x3 = x.reshape(2, 128, 128)
+    out3 = gated_mlp(x3, w)
+    assert out3.shape == (2, 128, 256)
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(_xla_gated(x3, w, None)))
+
+    xq, wq = rand(5, n=100, k=96, h2=120)  # non-tileable
+    assert not _tileable(100, 96, 60)
+    np.testing.assert_array_equal(np.asarray(gated_mlp(xq, wq)), np.asarray(_xla_gated(xq, wq, None)))
+
+    b = jnp.ones((w.shape[1],), jnp.float32)  # bias → XLA path everywhere
+    np.testing.assert_array_equal(np.asarray(gated_mlp(x, w, b)), np.asarray(_xla_gated(x, w, b)))
+
+    np.testing.assert_array_equal(
+        np.asarray(gated_mlp(x, w, use_kernel=False)), np.asarray(_xla_gated(x, w, None))
+    )
+
+
 def test_flagship_shapes_dispatch_to_kernel():
     """Regression guard: the nViT-B/16 flagship MLP ([B·T, d] @ [d, 8d]) and
-    cross-attention gate ([B·T, d] @ [d, 2d]) must hit the Pallas kernel, and
-    the flagship sequence length must take the zero-pad path (T=784 is
-    sublane-aligned for bf16)."""
-    import jax.numpy as jnp
-
+    cross-attention gate ([B·T, d] @ [d, 2d]) must hit the Pallas kernel on
+    TPU, and the flagship sequence length must take the zero-pad path (T=784
+    is sublane-aligned for bf16)."""
     from nvit_tpu.ops.flash_attention import _pad_len, _pick_block_q
 
     assert _tileable(32 * 784, 768, 3072)  # MLP gate
