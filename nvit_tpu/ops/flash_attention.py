@@ -197,13 +197,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
 _FUSED_BWD_MAX_T = 1024
 
 
-def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                       dq_ref, dk_ref, dv_ref, *, scale, t_actual):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
     t_pad = q.shape[0]
+
+    # Δ_i = rowsum(dO ∘ O) computed in VMEM — folding it here saves the
+    # separate XLA pass over g and o (one [T, D] read per layer per step)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32), axis=-1, keepdims=True
+    )
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     s = s * scale
@@ -216,7 +222,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         p = jnp.where(row < t_actual, p, 0.0)
 
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0])  # [Tq, Tk] fp32
+    ds = p * (dp - delta)  # [Tq, Tk] fp32
 
     pb = p.astype(do.dtype)
     dsb = ds.astype(q.dtype)
@@ -233,14 +239,14 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ).astype(dq_ref.dtype)
 
 
-def _bwd_fused(scale: float, t_actual: int, q3, k3, v3, g, lse, delta):
+def _bwd_fused(scale: float, t_actual: int, q3, k3, v3, g, lse, o3):
     bh, t_pad, d = q3.shape
     full = pl.BlockSpec((1, t_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     stat = pl.BlockSpec((1, t_pad, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_fused_kernel, scale=scale, t_actual=t_actual),
         grid=(bh,),
-        in_specs=[full, full, full, full, stat, stat],
+        in_specs=[full, full, full, full, stat, full],
         out_specs=[full, full, full],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
@@ -252,7 +258,7 @@ def _bwd_fused(scale: float, t_actual: int, q3, k3, v3, g, lse, delta):
             bytes_accessed=bh * t_pad * d * 7 * q3.dtype.itemsize,
             transcendentals=bh * t_pad * t_pad,
         ),
-    )(q3, k3, v3, g, lse, delta)
+    )(q3, k3, v3, g, lse, o3)
 
 
 def _bwd(scale: float, t_actual: int, res, g):
@@ -260,11 +266,12 @@ def _bwd(scale: float, t_actual: int, res, g):
     bh, t_pad, d = q3.shape
     g = g.astype(o3.dtype)
 
+    if t_pad <= _FUSED_BWD_MAX_T:
+        # Δ is computed inside the fused kernel (one fewer XLA pass over g, o)
+        return _bwd_fused(scale, t_actual, q3, k3, v3, g, lse, o3)
+
     # Δ_i = rowsum(dO ∘ O) — cheap elementwise reduce, fused by XLA
     delta = jnp.sum(g.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
-
-    if t_pad <= _FUSED_BWD_MAX_T:
-        return _bwd_fused(scale, t_actual, q3, k3, v3, g, lse, delta)
 
     BLOCK_Q = _pick_block_q(t_pad)
     grid_q = (bh, t_pad // BLOCK_Q)
@@ -423,7 +430,7 @@ def _fwd_qknorm(q3, k3, v3, s3, scale: float, t_actual: int):
     return o, lse
 
 
-def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, delta_ref,
+def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, o_ref,
                              dq_ref, dk_ref, dv_ref, ds_ref, *, scale, t_actual):
     """Single-program backward with the QK-norm projection math.
 
@@ -435,6 +442,11 @@ def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, delta_
     do = do_ref[0]
     s_vec = s_ref[0]  # [1, D] fp32
     t_pad = q.shape[0]
+
+    # Δ in VMEM (see _bwd_fused_kernel)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32), axis=-1, keepdims=True
+    )
 
     qhat32, qn, qnorm = _normed_scaled(q, s_vec)
     khat32, kn, knorm = _normed_scaled(k, s_vec)
@@ -452,7 +464,7 @@ def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, delta_
         p = jnp.where(row < t_actual, p, 0.0)
 
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0])
+    ds = p * (dp - delta)
 
     pb = p.astype(do.dtype)
     dsb = ds.astype(q.dtype)
@@ -485,7 +497,6 @@ def _bwd_qknorm(static, res, g):
     q3, k3, v3, s3, o3, lse = res
     bh, t_pad, d = q3.shape
     g = g.astype(o3.dtype)
-    delta = jnp.sum(g.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
 
     full = pl.BlockSpec((1, t_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     stat = pl.BlockSpec((1, t_pad, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -493,7 +504,7 @@ def _bwd_qknorm(static, res, g):
     dq, dk, dv, ds3 = pl.pallas_call(
         functools.partial(_bwd_fused_qknorm_kernel, scale=scale, t_actual=t_actual),
         grid=(bh,),
-        in_specs=[full, full, full, svec, full, stat, stat],
+        in_specs=[full, full, full, svec, full, stat, full],
         out_specs=[full, full, full, svec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
@@ -506,7 +517,7 @@ def _bwd_qknorm(static, res, g):
             bytes_accessed=bh * t_pad * d * 7 * q3.dtype.itemsize,
             transcendentals=bh * t_pad * t_pad,
         ),
-    )(q3, k3, v3, s3, g, lse, delta)
+    )(q3, k3, v3, s3, g, lse, o3)
     return dq, dk, dv, ds3
 
 
