@@ -127,9 +127,12 @@ def global_embed_permutation(channels: int, kernel: int, stride: int) -> np.ndar
     return perm
 
 
-def map_vit_params(model: "ref_model.ViT", cfg: ViTConfig) -> dict:
-    """Full torch ViT state_dict → nvit_tpu parameter tree."""
-    sd = model.state_dict()
+def map_vit_params(model: "ref_model.ViT", cfg: ViTConfig, sd: dict | None = None) -> dict:
+    """Full torch ViT state_dict → nvit_tpu parameter tree.
+
+    ``sd`` overrides the tensors to map (same key layout) — used to push the
+    torch GRADIENTS through the identical axis transforms for grad parity."""
+    sd = model.state_dict() if sd is None else sd
     d = cfg.n_embd
 
     lw = t2j(sd["local_patch_embed.weight"])  # [d, C, p, p]; (C,kh,kw) == space_to_depth layout
@@ -329,3 +332,95 @@ class TestFullViT:
         ours, terms = total_loss(jcfg, cw, sw, out.logits, jnp.asarray(labels), out.aux_losses)
         np.testing.assert_allclose(float(ours), ref_total, atol=1e-4, rtol=1e-5)
         assert float(terms["total_loss"]) == float(ours)
+
+
+# ------------------------------------------------------------- gradient parity
+class TestGradientParity:
+    """End-to-end GRADIENT parity vs torch autograd: map the torch parameter
+    gradients through the identical axis transforms as the weights and compare
+    against jax.grad of the same loss (≙ reference train.py:930-933 backward).
+    This covers every custom VJP in the stack (flash/gated kernels fall back
+    to XLA on CPU, but the SLERP/norm_skip custom VJPs, the one-hot BMU
+    gather, and the smoothness-table reformulation are all on the path)."""
+
+    @staticmethod
+    def _torch_grad_sd(model):
+        sd = {}
+        for k, p_ in model.named_parameters():
+            sd[k] = torch.zeros_like(p_) if p_.grad is None else p_.grad
+        # buffers (e.g. SOM locations) carry no grad; mapping never reads them
+        return sd
+
+    def _compare(self, gref, gours, path=""):
+        if isinstance(gours, dict):
+            for k in gours:
+                self._compare(gref[k], gours[k], f"{path}.{k}")
+        elif isinstance(gours, list):
+            for i, (a, b) in enumerate(zip(gref, gours)):
+                self._compare(a, b, f"{path}[{i}]")
+        else:
+            np.testing.assert_allclose(
+                np.asarray(gours), np.asarray(gref), atol=7e-5, rtol=2e-4, err_msg=path
+            )
+
+    def test_grads_nvit_no_kohonen(self):
+        """nvit1_k0: CE-only loss (the reference's training loss for k0)."""
+        rcfg, jcfg = tiny_cfgs(use_nvit=True, use_kohonen=False)
+        torch.manual_seed(3)
+        model = ref_model.ViT(rcfg).eval()
+        with torch.no_grad():
+            for name, p_ in model.named_parameters():
+                if p_.dim() < 2 and "kohonen" not in name:
+                    p_.add_(0.01 * torch.randn_like(p_))
+        img = rand_img(seed=7, s=rcfg.image_size)
+        labels = np.array([1, 8])
+
+        logits_ref, _aux = model(torch.from_numpy(img))
+        loss_ref = torch.nn.functional.cross_entropy(logits_ref, torch.from_numpy(labels))
+        loss_ref.backward()
+
+        params = map_vit_params(model, jcfg)
+
+        def loss_fn(p):
+            out = vit_apply(p, jcfg, jnp.asarray(img), step=0, train=False)
+            return total_loss(jcfg, 0.1, 0.1, out.logits, jnp.asarray(labels), out.aux_losses)[0]
+
+        loss_ours, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(loss_ours), float(loss_ref), atol=1e-4, rtol=1e-5)
+        gref = map_vit_params(model, jcfg, sd=self._torch_grad_sd(model))
+        self._compare(gref, grads)
+
+    def test_grads_nvit_kohonen_full_loss(self):
+        """nvit1_k1: the FULL weighted loss (CE + consistency + smoothness +
+        quantization + reconstruction, ≙ train.py:906-926) — exercises the
+        SOM gradient channel (BMU gather into nodes, smoothness table) and
+        every aux-loss backward."""
+        rcfg, jcfg = tiny_cfgs(use_nvit=True, use_kohonen=True, kohonen_nodes=32)
+        torch.manual_seed(4)
+        model = ref_model.ViT(rcfg).eval()
+        with torch.no_grad():
+            for name, p_ in model.named_parameters():
+                if p_.dim() < 2 and "kohonen" not in name:
+                    p_.add_(0.01 * torch.randn_like(p_))
+        img = rand_img(seed=8, s=rcfg.image_size)
+        labels = np.array([2, 5])
+        cw, sw = 0.1, 0.1
+
+        logits_ref, aux_ref = model(torch.from_numpy(img))
+        loss_ref = torch.nn.functional.cross_entropy(logits_ref, torch.from_numpy(labels))
+        loss_ref = loss_ref + cw * aux_ref["kohonen_consistency"] + sw * aux_ref["kohonen_smoothness"]
+        loss_ref = loss_ref + rcfg.local_quantization_weight * aux_ref["local_quantization"]
+        loss_ref = loss_ref + rcfg.global_quantization_weight * aux_ref["global_quantization"]
+        loss_ref = loss_ref + rcfg.reconstruction_weight * aux_ref["reconstruction"]
+        loss_ref.backward()
+
+        params = map_vit_params(model, jcfg)
+
+        def loss_fn(p):
+            out = vit_apply(p, jcfg, jnp.asarray(img), step=0, train=False)
+            return total_loss(jcfg, cw, sw, out.logits, jnp.asarray(labels), out.aux_losses)[0]
+
+        loss_ours, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(loss_ours), float(loss_ref), atol=1e-4, rtol=1e-5)
+        gref = map_vit_params(model, jcfg, sd=self._torch_grad_sd(model))
+        self._compare(gref, grads)
