@@ -69,7 +69,10 @@ def tiny_cfgs(**kw):
 
 
 def t2j(t: torch.Tensor) -> jnp.ndarray:
-    return jnp.asarray(t.detach().cpu().numpy())
+    # np.array(copy) is load-bearing: jnp.asarray can zero-copy ALIAS a CPU
+    # numpy buffer, so an in-place torch mutation afterwards (optimizer.step,
+    # normalize_matrices) would silently change the mapped JAX tree
+    return jnp.asarray(np.array(t.detach().cpu().numpy()))
 
 
 def map_linear(sd, prefix: str) -> dict:
@@ -424,3 +427,78 @@ class TestGradientParity:
         np.testing.assert_allclose(float(loss_ours), float(loss_ref), atol=1e-4, rtol=1e-5)
         gref = map_vit_params(model, jcfg, sd=self._torch_grad_sd(model))
         self._compare(gref, grads)
+
+
+# ------------------------------------------------------- optimizer-step parity
+class TestOptimizerParity:
+    """One (and two) full AdamW+renorm update steps vs the reference's own
+    ``configure_optimizers`` (model.py:369-385) + ``normalize_matrices``
+    (train.py:461-480), fed IDENTICAL synthetic gradients on both sides
+    (step-1 AdamW is a near-sign update, so per-side autograd noise would
+    amplify; gradient equality itself is covered by TestGradientParity)."""
+
+    @staticmethod
+    def _ref_normalize_matrices(model):
+        # ≙ train.py:461-480 verbatim semantics (blocks only, fp32, in-place)
+        def jn(x, idim):
+            return (x.float() / x.float().norm(p=2, dim=idim, keepdim=True)).to(x.dtype)
+
+        with torch.no_grad():
+            for block in model.transformer.h:
+                for name, dim in (
+                    ("query", 1), ("key", 1), ("value", 1), ("c_fc", 1),
+                    ("att_c_proj", 0), ("mlp_c_proj", 0),
+                ):
+                    w = getattr(block, name).weight
+                    w.data.copy_(jn(w.data, dim))
+
+    def test_adamw_renorm_step_parity(self):
+        from nvit_tpu.configs.schema import OptimizerConfig
+        from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
+
+        rcfg, jcfg = tiny_cfgs(use_nvit=True, use_kohonen=False)
+        torch.manual_seed(5)
+        model = ref_model.ViT(rcfg)
+        lr, wd, betas = 1e-3, 0.1, (0.9, 0.95)
+        opt = model.configure_optimizers(wd, lr, betas, device_type="cpu")
+
+        params = map_vit_params(model, jcfg)
+        opt_cfg = OptimizerConfig(
+            learning_rate=lr, weight_decay=wd, beta1=betas[0], beta2=betas[1],
+            grad_clip=0.0, warmup_iters=0, lr_decay_iters=10_000, min_lr=lr,
+        )
+        state = init_fused_adamw(params)
+
+        for step_seed in (11, 12):  # two steps: t=1 and the t=2 bias correction
+            gen = torch.Generator().manual_seed(step_seed)
+            grads_t = {
+                n: 0.02 * torch.randn(p_.shape, generator=gen)
+                for n, p_ in model.named_parameters()
+            }
+            for n, p_ in model.named_parameters():
+                p_.grad = grads_t[n].clone()
+            grads_j = map_vit_params(model, jcfg, sd=grads_t)
+
+            opt.step()
+            opt.zero_grad(set_to_none=True)
+            self._ref_normalize_matrices(model)
+
+            params, state = fused_adamw_renorm_update(
+                opt_cfg, params, grads_j, state, renorm=True
+            )
+
+        want = map_vit_params(model, jcfg)
+
+        def cmp(a, b, path=""):
+            if isinstance(b, dict):
+                for k in b:
+                    cmp(a[k], b[k], f"{path}.{k}")
+            elif isinstance(b, list):
+                for i, (x, y) in enumerate(zip(a, b)):
+                    cmp(x, y, f"{path}[{i}]")
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-4, err_msg=path
+                )
+
+        cmp(want, params)
