@@ -57,7 +57,7 @@ def main() -> None:
     if os.environ.get("NVIT_BENCH_KOHONEN", "0") == "1":
         overrides.update(use_kohonen=True, kohonen_nodes=512)
     if os.environ.get("NVIT_BENCH_LARGE", "0") == "1":
-        # nViT-L/16 (24L/16H/1024d, ~377M params) — BASELINE.json config 5's
+        # nViT-L/16 (24L/16H/1024d, 413M params) — BASELINE.json config 5's
         # model family, measured single-chip (the pod run needs real v5p-8)
         overrides.update(n_layer=24, n_head=16, n_embd=1024)
     cfg = flagship_config(**overrides)

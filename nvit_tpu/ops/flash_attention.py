@@ -255,7 +255,7 @@ def _bwd_fused(scale: float, t_actual: int, q3, k3, v3, g, lse, o3):
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * bh * t_pad * t_pad * d,
-            bytes_accessed=bh * t_pad * d * 7 * q3.dtype.itemsize,
+            bytes_accessed=bh * t_pad * d * 8 * q3.dtype.itemsize,
             transcendentals=bh * t_pad * t_pad,
         ),
     )(q3, k3, v3, g, lse, o3)
@@ -514,7 +514,7 @@ def _bwd_qknorm(static, res, g):
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * bh * t_pad * t_pad * d,
-            bytes_accessed=bh * t_pad * d * 7 * q3.dtype.itemsize,
+            bytes_accessed=bh * t_pad * d * 8 * q3.dtype.itemsize,
             transcendentals=bh * t_pad * t_pad,
         ),
     )(q3, k3, v3, s3, g, lse, o3)

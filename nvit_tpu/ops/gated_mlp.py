@@ -33,6 +33,12 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic kernels need a real TPU backend, so a flash_attn=True config still
+# runs on CPU hosts/tests via the XLA fallback; tests monkeypatch this
+# module's _on_tpu (like tests/test_flash_attention.py does for
+# ops/attention.py) to force the kernel path under interpret mode.
+from nvit_tpu.ops.attention import _on_tpu
+
 # Forward tiles: rows innermost in the grid so each W column-tile is fetched
 # once and x streams; [512, 1024] fp32 gate intermediates keep VMEM ≈ 14 MB.
 _FWD_ROW, _FWD_COL = 512, 1024
@@ -168,26 +174,14 @@ def _tileable(n: int, k: int, h: int) -> bool:
     return n % 128 == 0 and k % 128 == 0 and h % 256 == 0
 
 
-def _on_tpu() -> bool:
-    """Mosaic kernels need a real TPU backend — same guard as
-    ops/attention.py, so a flash_attn=True config still runs on CPU
-    hosts/tests via the XLA fallback.  (Kernel-parity tests exercise
-    ``_gated_core`` directly under ``force_tpu_interpret_mode``, mirroring
-    how the flash-attention tests call the kernel past the dispatcher.)"""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover - backend probing should not fail
-        return False
-
-
 def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = True) -> Array:
     """``u * silu(v)`` where ``[u | v] = x @ w (+ b)``; w is [K, 2H].
 
     ``x``/``w`` must already be in the compute dtype (the caller casts — same
     contract as core.layers.linear).  Dispatches to the fused Pallas kernel
-    when the shapes tile cleanly, there is no bias, and ``use_kernel`` is set
-    (the flash_attn knob gates all Pallas paths); falls back to the
-    identical-semantics XLA chain otherwise.
+    when running on a real TPU backend, the shapes tile cleanly, there is no
+    bias, and ``use_kernel`` is set (the flash_attn knob gates all Pallas
+    paths); falls back to the identical-semantics XLA chain otherwise.
     """
     *lead, k = x.shape
     h = w.shape[1] // 2

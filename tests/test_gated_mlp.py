@@ -125,3 +125,26 @@ def test_flagship_shapes_dispatch_to_kernel():
     assert _pick_block_q(784, cap=1024) == 784
     # long-T still lane-pads for the two-kernel tiled backward
     assert _pad_len(1500, jnp.bfloat16) == 1536
+
+
+def test_dispatcher_kernel_path(monkeypatch):
+    """Exercise the DISPATCHER's kernel branch (leading-dim flatten, w column
+    split, reshape back) under interpret mode by forcing the backend probe —
+    the same pattern the flash tests use for ops/attention.py."""
+    import sys
+
+    # nvit_tpu.ops re-exports the gated_mlp FUNCTION, shadowing the submodule
+    # attribute — resolve the module itself via sys.modules
+    gm = sys.modules["nvit_tpu.ops.gated_mlp"]
+    monkeypatch.setattr(gm, "_on_tpu", lambda: True)
+    x, w = rand(9, 256, 128, 512)
+    x3 = x.reshape(2, 128, 128)
+    with pltpu.force_tpu_interpret_mode():
+        out3 = gated_mlp(x3, w)
+        out2 = gated_mlp(x, w)
+    ref3 = _xla_gated(x3, w, None)
+    assert out3.shape == (2, 128, 256)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref3.reshape(256, 256)), rtol=2e-5, atol=2e-6
+    )
