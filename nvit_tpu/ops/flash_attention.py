@@ -370,7 +370,20 @@ def _normed_scaled(x, s):
     return s * xn, xn, norm
 
 
-def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_actual):
+def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_actual,
+                       bounded):
+    """nViT fused-projection forward.  ``bounded=True`` uses the bounded
+    softmax: scores are PROVABLY bounded (q̂·k̂ = Σ_d s_d² qn_d kn_d with unit
+    qn/kn ⇒ |score| ≤ scale·max_d(s_d²) by Cauchy-Schwarz), so subtracting
+    the per-head SCALAR bound replaces the per-row max — one fewer VPU
+    reduce pass over the [Tq, Tk] tile (measured +2 img/s on the flagship).
+    exp stays in [e^-40, 1] under the wrapper's bound<20 gate (no overflow;
+    worst-case row sum ≥ T·e^-40 ≫ fp32 tiny, so no 0/0) and lse =
+    bound + log(l) is exactly what the backward recomputes from.  The
+    wrapper dispatches to the ``bounded=False`` row-max variant at runtime
+    when the learned scale drifts past the safe range — a jax-level cond
+    between two kernels, NOT in-kernel control flow (an in-kernel lax.cond
+    measured 6 ms/step SLOWER than row-max)."""
     q = q_ref[0]
     k = k_ref[0]
     s_vec = s_ref[0]  # [1, D] fp32
@@ -389,8 +402,13 @@ def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_a
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    if bounded:
+        bound = scale * jnp.max(s_vec * s_vec)
+        m = jnp.full((s.shape[0], 1), bound, jnp.float32)
+        p = jnp.exp(s - bound)
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -400,12 +418,35 @@ def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_a
     lse_ref[0] = m + jnp.log(l)
 
 
+# Bounded-softmax safety gate: with bound = scale·max(sqk_eff²) < 20, the
+# worst-case exp argument is −2·bound > −40, far from fp32 under/overflow.
+_BOUND_GATE = 20.0
+
+
 def _fwd_qknorm(q3, k3, v3, s3, scale: float, t_actual: int):
     bh, t_pad, d = q3.shape
     BLOCK_Q = _pick_block_q(t_pad, cap=1024)
     grid = (bh, t_pad // BLOCK_Q)
+
+    def call(bounded):
+        def run(q3, k3, v3, s3):
+            return _fwd_qknorm_call(
+                q3, k3, v3, s3, scale=scale, t_actual=t_actual, bounded=bounded,
+                grid=grid, BLOCK_Q=BLOCK_Q,
+            )
+
+        return run
+
+    bound_all = scale * jnp.max(s3.astype(jnp.float32) ** 2)
+    return jax.lax.cond(bound_all < _BOUND_GATE, call(True), call(False), q3, k3, v3, s3)
+
+
+def _fwd_qknorm_call(q3, k3, v3, s3, *, scale, t_actual, bounded, grid, BLOCK_Q):
+    bh, t_pad, d = q3.shape
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_qknorm_kernel, scale=scale, t_actual=t_actual),
+        functools.partial(
+            _fwd_qknorm_kernel, scale=scale, t_actual=t_actual, bounded=bounded
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

@@ -239,3 +239,40 @@ class TestQKNormFused:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
                 err_msg=f"block grad mismatch at {jax.tree_util.keystr(path)}",
             )
+
+
+def test_qknorm_bounded_softmax_fallback():
+    """The qknorm forward's bounded-softmax fast path must match the row-max
+    path bit-for-tolerance in BOTH regimes: small sqk (bound < 20 → scalar
+    subtraction) and large sqk (bound ≥ 20 → runtime row-max fallback)."""
+    from nvit_tpu.ops.attention import qknorm_project_xla
+    from nvit_tpu.ops.flash_attention import flash_attention_qknorm
+
+    b, h, t, d = 1, 2, 64, 32
+    scale = float(np.sqrt(d))
+    q, k, v = rand_qkv(9, b=b, h=h, t=t, d=d)
+
+    for s_mag, regime in ((1.0, "bounded"), (3.0, "rowmax-fallback")):
+        sqk = s_mag * (1.0 + 0.05 * jnp.arange(h * d, dtype=jnp.float32).reshape(h, d) / (h * d))
+        bound = scale * float(jnp.max(sqk * sqk))
+        assert (bound < 20.0) == (regime == "bounded")
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_qknorm(q, k, v, sqk, scale)
+        qh, kh = qknorm_project_xla(q, k, sqk, v.dtype)
+        ref = sdpa_xla(qh, kh, v, scale)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-5, err_msg=regime
+        )
+
+        # gradients flow through the saved lse identically in both regimes
+        def loss(q, k, v, s):
+            return jnp.sum(jnp.square(flash_attention_qknorm(q, k, v, s, scale)))
+
+        def loss_ref(q, k, v, s):
+            qh, kh = qknorm_project_xla(q, k, s, v.dtype)
+            return jnp.sum(jnp.square(sdpa_xla(qh, kh, v, scale)))
+
+        with pltpu.force_tpu_interpret_mode():
+            gs = jax.grad(loss, argnums=3)(q, k, v, sqk)
+        rs = jax.grad(loss_ref, argnums=3)(q, k, v, sqk)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=2e-3, atol=2e-4, err_msg=regime)

@@ -45,18 +45,28 @@ def _run_workers(nproc: int, port: int, outdir: Path, devices_per_proc: int):
     return outs
 
 
+def _free_port() -> int:
+    # ephemeral port: a FIXED port can collide with an orphaned worker from a
+    # previously killed suite run, failing the rendezvous
+    import socket
+
+    with socket.socket() as sk:
+        sk.bind(("localhost", 0))
+        return sk.getsockname()[1]
+
+
 def test_two_process_training_matches_single_process(tmp_path):
     out_mp = tmp_path / "mp"
     out_sp = tmp_path / "sp"
     out_mp.mkdir()
     out_sp.mkdir()
 
-    outs = _run_workers(2, 29517, out_mp, devices_per_proc=2)
+    outs = _run_workers(2, _free_port(), out_mp, devices_per_proc=2)
     assert "RANK0_DONE iter=4" in outs[0]
     assert "RANK1_DONE iter=4" in outs[1]
 
     # single process, same 4-device global mesh
-    _run_workers(1, 29518, out_sp, devices_per_proc=4)
+    _run_workers(1, _free_port(), out_sp, devices_per_proc=4)
 
     ck_mp = np.load(out_mp / "checkpoint_latest.npz")
     ck_sp = np.load(out_sp / "checkpoint_latest.npz")
