@@ -60,6 +60,12 @@ run-profiles *ARGS:
 debug:
     python -m nvit_tpu.debug
 
+# Real-dataset accuracy-parity matrix: runs the CIFAR-100 3-profile matrix
+# and/or the ImageNet nViT-B/16 run the moment a dataset is staged in ./data
+# (zero-egress container: exits 2 with staging instructions if none found).
+accuracy-parity:
+    ./scripts/accuracy_parity.sh
+
 test:
     python -m pytest tests/ -x -q
 

@@ -54,7 +54,10 @@ def _write_files(
 
 
 def _snapshot(
-    state: TrainState, config: Config, metrics: dict[str, float] | None
+    state: TrainState,
+    config: Config,
+    metrics: dict[str, float] | None,
+    trainer_state: dict[str, Any] | None = None,
 ) -> tuple[list[np.ndarray], dict[str, Any]]:
     """Synchronous host snapshot.  device_get must stay on the calling thread:
     the train step donates its input buffers, so the copy must complete before
@@ -64,6 +67,10 @@ def _snapshot(
     meta = {
         "iter_num": int(state.step),
         "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+        # host-side Trainer protocol state (best_val_loss, patience counter) so
+        # relaunches continue the early-stop/best-checkpoint protocol instead of
+        # resetting it (≙ reference best_val_loss in the ckpt dict, train.py:650)
+        "trainer": dict(trainer_state or {}),
         "config": config.to_dict(),
         "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
         "num_leaves": len(leaves),
@@ -78,11 +85,12 @@ def save_checkpoint(
     state: TrainState,
     config: Config,
     metrics: dict[str, float] | None = None,
+    trainer_state: dict[str, Any] | None = None,
 ) -> Path:
     """Write ``<out_dir>/<name>.npz`` + ``<name>.json`` atomically."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    leaves, meta = _snapshot(state, config, metrics)
+    leaves, meta = _snapshot(state, config, metrics, trainer_state)
     return _write_files(out_dir, name, leaves, meta)
 
 
@@ -92,6 +100,7 @@ def save_checkpoint_async(
     state: TrainState,
     config: Config,
     metrics: dict[str, float] | None = None,
+    trainer_state: dict[str, Any] | None = None,
 ) -> threading.Thread:
     """Snapshot synchronously, write the files on a background thread.
 
@@ -100,7 +109,7 @@ def save_checkpoint_async(
     the same checkpoint name again (the Trainer serializes saves)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    leaves, meta = _snapshot(state, config, metrics)
+    leaves, meta = _snapshot(state, config, metrics, trainer_state)
     t = threading.Thread(target=_write_files, args=(out_dir, name, leaves, meta), daemon=True)
     t.start()
     return t

@@ -44,14 +44,21 @@ def save_checkpoint_orbax(
     state: TrainState,
     config: Config,
     metrics: dict[str, float] | None = None,
+    trainer_state: dict[str, Any] | None = None,
 ) -> Path:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     ckpt_dir = (out_dir / f"{name}.orbax").resolve()
+    # COLLECTIVE under multi-host: every process calls save() and writes its
+    # own addressable shards; only the master writes the json sidecar (the
+    # step is replicated, so its value is identical everywhere)
     _checkpointer().save(ckpt_dir, state._asdict(), force=True)
+    if jax.process_index() != 0:
+        return ckpt_dir
     meta = {
         "iter_num": int(jax.device_get(state.step)),
         "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+        "trainer": dict(trainer_state or {}),
         "config": config.to_dict(),
         "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
         "format": _FORMAT,

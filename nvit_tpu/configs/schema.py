@@ -33,6 +33,12 @@ class ViTConfig:
     base_scale: float = 1.0 / math.sqrt(1024.0)
     use_nvit: bool = False
     flash_attn: bool = False  # on TPU this selects the Pallas fused-attention path
+    # softmax stabilizer of the fused QK-norm kernel: "bounded" compiles only
+    # the bounded-softmax variant (scores provably ≤ scale·max(sqk²); the
+    # per-step renorm keeps the bound ≪ the safety gate), "rowmax" only the
+    # classic row-max variant, "auto" adds a runtime cond (costs ~1.5 GB of
+    # double-buffered peak HBM at flagship scale; both arms run under vmap)
+    bounded_softmax: str = "bounded"
     sz_init_value: float = 1.00
     sz_init_scaling: float = 1.0
     dropout: float = 0.0
@@ -66,6 +72,10 @@ class ViTConfig:
         return self.image_size // self.local_patch_size
 
     def validate(self) -> None:
+        if self.bounded_softmax not in ("bounded", "rowmax", "auto"):
+            raise ValueError(
+                f"bounded_softmax must be 'bounded', 'rowmax' or 'auto', got {self.bounded_softmax!r}"
+            )
         if self.n_embd % self.n_head != 0:
             raise ValueError(f"n_embd={self.n_embd} not divisible by n_head={self.n_head}")
         if self.image_size % self.local_patch_size != 0:
@@ -88,6 +98,11 @@ class TrainingConfig:
     """≙ reference settings.yaml:1-16 (training section)."""
 
     eval_interval: int = 1000
+    # every Nth periodic eval runs the FULL (un-capped) validation pass even
+    # when system.quick_validation is on, so best-checkpoint selection and
+    # early stopping periodically see the whole val set (≙ reference
+    # evaluate() always running the full pass, train.py:728-766).  0 = never.
+    full_eval_interval: int = 0
     log_interval: int = 200
     eval_iters: int = 200
     eval_only: bool = False

@@ -129,7 +129,8 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
         # per-head QK hypersphere projection fused into the attention call
         # (Pallas kernel on the flash path; XLA chain otherwise)
         att = attention_qknorm(
-            q, k, v, _sqk_eff(p["sqk"], cfg), sqrt_hd, use_flash=cfg.flash_attn
+            q, k, v, _sqk_eff(p["sqk"], cfg), sqrt_hd, use_flash=cfg.flash_attn,
+            bounded_softmax=cfg.bounded_softmax,
         )
     else:
         att = attention(q, k, v, 1.0 / sqrt_hd, use_flash=cfg.flash_attn)
@@ -213,7 +214,8 @@ def cross_attention_apply(
     sqrt_hd = math.sqrt(cfg.head_dim)
     if cfg.use_nvit:
         att = attention_qknorm(
-            q, k, v, _sqk_eff(p["sqk"], cfg), sqrt_hd, use_flash=cfg.flash_attn
+            q, k, v, _sqk_eff(p["sqk"], cfg), sqrt_hd, use_flash=cfg.flash_attn,
+            bounded_softmax=cfg.bounded_softmax,
         )
     else:
         att = attention(q, k, v, 1.0 / sqrt_hd, use_flash=cfg.flash_attn)

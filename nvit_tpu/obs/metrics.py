@@ -62,6 +62,14 @@ class MetricsWriter:
             try:
                 import wandb  # type: ignore
 
+                # log in with the API key from secrets.yaml / NVIT_WANDB_API_KEY
+                # before init (≙ reference wandb.login(key=…), train.py:514-515);
+                # offline mode and keyless environments skip it gracefully
+                from nvit_tpu.configs.loader import get_secret
+
+                api_key = get_secret("WANDB_API_KEY")
+                if api_key and wandb_mode == "online":
+                    wandb.login(key=api_key)
                 wandb.init(mode=wandb_mode, project=project,
                            name=f"{run_name}_{time.strftime('%Y%m%d_%H%M%S')}", config=config or {})
                 self.wandb = wandb

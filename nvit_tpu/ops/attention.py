@@ -73,7 +73,8 @@ def qknorm_project_xla(q: Array, k: Array, sqk_eff: Array, out_dtype) -> tuple[A
 
 
 def attention_qknorm(
-    q: Array, k: Array, v: Array, sqk_eff: Array, scale: float, *, use_flash: bool = False
+    q: Array, k: Array, v: Array, sqk_eff: Array, scale: float, *, use_flash: bool = False,
+    bounded_softmax: str = "auto",
 ) -> Array:
     """nViT attention with the per-head hypersphere projection of Q/K.
 
@@ -81,10 +82,12 @@ def attention_qknorm(
     (no separate [B,H,T,D] HBM round-trip — ≙ what flash-attn gives the
     reference adjacent to its kernel, model.py:108-116).  ``sqk_eff``:
     [H, D] fp32 effective scale (``sqk · init_value/init_scaling``).
+    ``bounded_softmax``: "bounded" | "rowmax" | "auto" — the flash kernel's
+    softmax-stabilizer strategy (flash_attention.py:_fwd_qknorm).
     """
     if use_flash and _on_tpu():
         from nvit_tpu.ops.flash_attention import flash_attention_qknorm
 
-        return flash_attention_qknorm(q, k, v, sqk_eff, scale)
+        return flash_attention_qknorm(q, k, v, sqk_eff, scale, mode=bounded_softmax)
     qh, kh = qknorm_project_xla(q, k, sqk_eff, v.dtype)
     return sdpa_xla(qh, kh, v, scale)

@@ -4,7 +4,12 @@ Runs the full Trainer under jax.distributed with N CPU processes
 (≙ reference torchrun spawning one process per GPU, launcher.sh:9,
 train.py:220-231).  Invoked as:
 
-    python tests/mp_worker.py <rank> <nproc> <port> <outdir>
+    python tests/mp_worker.py <rank> <nproc> <port> <outdir> [mode]
+
+mode = "train" (default) runs 4 iters and exits; "orbax" trains with the
+orbax checkpoint backend (a COLLECTIVE multi-host save — every process
+writes its addressable shards), then resumes from it in-process and trains
+2 more iters (VERDICT r2 next #2).
 
 The parent sets JAX_PLATFORMS=cpu / PALLAS_AXON_POOL_IPS= /
 XLA_FLAGS=--xla_force_host_platform_device_count=K in the environment.
@@ -19,6 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main() -> None:
     rank, nproc, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
     if nproc > 1:
         jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=rank)
 
@@ -44,6 +50,7 @@ def main() -> None:
         system=SystemConfig(use_ddp=True, use_tqdm=False, dtype="float32", use_amp=False),
         data=DataConfig(
             out_dir=outdir, dataset="synthetic", data_dir=outdir + "/data",
+            checkpoint_backend="orbax" if mode == "orbax" else "npz",
             augmentation=AugmentationConfig(enabled=False),
         ),
     )
@@ -52,6 +59,19 @@ def main() -> None:
     t.train()
     assert t.iter_num == 4, t.iter_num
     print(f"RANK{rank}_DONE iter={t.iter_num}", flush=True)
+
+    if mode == "orbax":
+        # every process resumes from the collectively-written orbax checkpoint
+        cfg2 = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, init_from="resume", max_iters=6),
+            data=dataclasses.replace(cfg.data, checkpoint_dir=outdir),
+        )
+        t2 = Trainer(config=cfg2)
+        assert t2.iter_num == 4, t2.iter_num
+        t2.train()
+        assert t2.iter_num == 6, t2.iter_num
+        print(f"RANK{rank}_ORBAX_RESUMED iter={t2.iter_num}", flush=True)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,10 @@ REPO = Path(__file__).resolve().parent.parent
 WORKER = REPO / "tests" / "mp_worker.py"
 
 
-def _run_workers(nproc: int, port: int, outdir: Path, devices_per_proc: int):
+def _run_workers(nproc: int, outdir: Path, devices_per_proc: int, mode: str = "train"):
+    """Launch the workers, retrying ONCE on a port-bind race: the ephemeral
+    port from _free_port is released before the coordinator binds it, so
+    another process can claim it in the window (ADVICE r2 #4 TOCTOU)."""
     env = dict(os.environ)
     env.update(
         PALLAS_AXON_POOL_IPS="",
@@ -30,18 +33,37 @@ def _run_workers(nproc: int, port: int, outdir: Path, devices_per_proc: int):
         XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
         PYTHONPATH=str(REPO),
     )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(WORKER), str(r), str(nproc), str(port), str(outdir)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    for attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(WORKER), str(r), str(nproc), str(port), str(outdir), mode],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for r in range(nproc)
+        ]
+        outs, rcs = [], []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                # kill BOTH workers by handle (a hung rendezvous leaves the
+                # peer spinning forever) and surface what we got
+                for q in procs:
+                    q.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+            rcs.append(p.returncode)
+        if all(rc == 0 for rc in rcs):
+            return outs
+        bind_race = any(
+            "address already in use" in o.lower() or "failed to bind" in o.lower()
+            for o in outs
         )
-        for r in range(nproc)
-    ]
-    outs = []
-    for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-        assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
+        if attempt == 0 and bind_race:
+            continue
+        for r, (rc, out) in enumerate(zip(rcs, outs)):
+            assert rc == 0, f"rank {r} failed:\n{out[-3000:]}"
     return outs
 
 
@@ -61,12 +83,12 @@ def test_two_process_training_matches_single_process(tmp_path):
     out_mp.mkdir()
     out_sp.mkdir()
 
-    outs = _run_workers(2, _free_port(), out_mp, devices_per_proc=2)
+    outs = _run_workers(2, out_mp, devices_per_proc=2)
     assert "RANK0_DONE iter=4" in outs[0]
     assert "RANK1_DONE iter=4" in outs[1]
 
     # single process, same 4-device global mesh
-    _run_workers(1, _free_port(), out_sp, devices_per_proc=4)
+    _run_workers(1, out_sp, devices_per_proc=4)
 
     ck_mp = np.load(out_mp / "checkpoint_latest.npz")
     ck_sp = np.load(out_sp / "checkpoint_latest.npz")
@@ -80,3 +102,26 @@ def test_two_process_training_matches_single_process(tmp_path):
     # master-only IO: rank 0 wrote the sinks; exactly one set of files exists
     assert (out_mp / "checkpoint_latest.npz").exists()
     assert (out_mp / "metrics.jsonl").exists()
+
+
+def test_two_process_orbax_save_and_resume(tmp_path):
+    """Orbax checkpointing across 2 real processes: the save is COLLECTIVE
+    (every process writes its addressable shards), and each process resumes
+    from the shared checkpoint and keeps training (VERDICT r2 next #2;
+    ≙ reference checkpoint contract train.py:629-709)."""
+    import importlib.util
+
+    if importlib.util.find_spec("orbax") is None:  # pragma: no cover
+        import pytest
+
+        pytest.skip("orbax-checkpoint not installed")
+    outdir = tmp_path / "orbax_mp"
+    outdir.mkdir()
+    outs = _run_workers(2, outdir, devices_per_proc=2, mode="orbax")
+    for r in range(2):
+        assert f"RANK{r}_DONE iter=4" in outs[r]
+        assert f"RANK{r}_ORBAX_RESUMED iter=6" in outs[r]
+    assert (outdir / "checkpoint_latest.orbax").exists()
+    assert (outdir / "checkpoint_latest.json").exists()
+    # npz files must NOT exist — the orbax backend handled all tensor IO
+    assert not (outdir / "checkpoint_latest.npz").exists()
