@@ -54,6 +54,13 @@ def main() -> None:
 
     use_flash = os.environ.get("NVIT_BENCH_FLASH", "1") == "1"
     overrides = {"flash_attn": use_flash}
+    if os.environ.get("NVIT_BENCH_BIAS", "0") == "1":
+        # reference-default bias=true config (exercises the gated-MLP bias
+        # kernel path; the flagship presets use bias=False)
+        overrides.update(bias=True)
+    mode = os.environ.get("NVIT_BENCH_SOFTMAX")  # bounded | rowmax | auto
+    if mode:
+        overrides.update(bounded_softmax=mode)
     if os.environ.get("NVIT_BENCH_KOHONEN", "0") == "1":
         overrides.update(use_kohonen=True, kohonen_nodes=512)
     if os.environ.get("NVIT_BENCH_LARGE", "0") == "1":
@@ -63,8 +70,11 @@ def main() -> None:
     cfg = flagship_config(**overrides)
     # norms per hot step are eval-time metrics; keep the bench step lean
     cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, log_gpu_stats=False))
-    if os.environ.get("NVIT_BENCH_REMAT", "1") == "0":
+    remat_env = os.environ.get("NVIT_BENCH_REMAT", "1")
+    if remat_env == "0":
         cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat=False))
+    elif remat_env == "force":  # flagship config defaults remat=False
+        cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat=True))
     skip = int(os.environ.get("NVIT_BENCH_REMAT_SKIP", "0"))
     if skip:
         cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat_skip_blocks=skip))

@@ -53,19 +53,25 @@ def save_checkpoint_orbax(
     # own addressable shards; only the master writes the json sidecar (the
     # step is replicated, so its value is identical everywhere)
     _checkpointer().save(ckpt_dir, state._asdict(), force=True)
-    if jax.process_index() != 0:
-        return ckpt_dir
-    meta = {
-        "iter_num": int(jax.device_get(state.step)),
-        "metrics": {k: float(v) for k, v in (metrics or {}).items()},
-        "trainer": dict(trainer_state or {}),
-        "config": config.to_dict(),
-        "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
-        "format": _FORMAT,
-    }
-    tmp_meta = out_dir / f"{name}.json.tmp"
-    tmp_meta.write_text(json.dumps(meta, indent=2))
-    tmp_meta.replace(out_dir / f"{name}.json")
+    if jax.process_index() == 0:
+        meta = {
+            "iter_num": int(jax.device_get(state.step)),
+            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+            "trainer": dict(trainer_state or {}),
+            "config": config.to_dict(),
+            "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
+            "format": _FORMAT,
+        }
+        tmp_meta = out_dir / f"{name}.json.tmp"
+        tmp_meta.write_text(json.dumps(meta, indent=2))
+        tmp_meta.replace(out_dir / f"{name}.json")
+    if jax.process_count() > 1:
+        # barrier AFTER the sidecar write: orbax's own barriers only cover the
+        # tensor commit, so without this a non-master process can return, race
+        # ahead to a resume, and read a json that does not exist yet
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"nvit_ckpt_meta:{name}")
     return ckpt_dir
 
 

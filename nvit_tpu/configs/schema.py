@@ -39,6 +39,13 @@ class ViTConfig:
     # classic row-max variant, "auto" adds a runtime cond (costs ~1.5 GB of
     # double-buffered peak HBM at flagship scale; both arms run under vmap)
     bounded_softmax: str = "bounded"
+    # fused gated-MLP kernel dispatch: "on" | "off" | "auto".  The kernel's
+    # backward RECOMPUTES the uv tile in VMEM instead of round-tripping it
+    # through HBM — a win while the MXU has idle headroom, a loss once the
+    # recompute matmuls compete with the main ones.  Measured crossover on
+    # v5e: nViT-B (d=768) +7% img/s, nViT-L (d=1024) −7% (and +3.3 GB peak
+    # vs XLA's saved-uv layout) — "auto" uses the kernel iff n_embd ≤ 768.
+    gated_mlp_kernel: str = "auto"
     sz_init_value: float = 1.00
     sz_init_scaling: float = 1.0
     dropout: float = 0.0
@@ -75,6 +82,10 @@ class ViTConfig:
         if self.bounded_softmax not in ("bounded", "rowmax", "auto"):
             raise ValueError(
                 f"bounded_softmax must be 'bounded', 'rowmax' or 'auto', got {self.bounded_softmax!r}"
+            )
+        if self.gated_mlp_kernel not in ("on", "off", "auto"):
+            raise ValueError(
+                f"gated_mlp_kernel must be 'on', 'off' or 'auto', got {self.gated_mlp_kernel!r}"
             )
         if self.n_embd % self.n_head != 0:
             raise ValueError(f"n_embd={self.n_embd} not divisible by n_head={self.n_head}")

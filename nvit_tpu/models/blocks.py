@@ -93,6 +93,17 @@ def _gated_linear(p: Params, x: Array, *, compute_dtype: Any, use_kernel: bool) 
     return gated_mlp(x, w, b, use_kernel=use_kernel)
 
 
+def _use_mlp_kernel(cfg: ViTConfig) -> bool:
+    """Resolve the fused gated-MLP dispatch (see ViTConfig.gated_mlp_kernel):
+    the kernel's bwd recompute wins while the MXU has idle headroom — measured
+    crossover on v5e is between d=768 (+7%) and d=1024 (−7%)."""
+    if not cfg.flash_attn:  # flash_attn gates ALL Pallas paths
+        return False
+    if cfg.gated_mlp_kernel == "auto":
+        return cfg.n_embd <= 768
+    return cfg.gated_mlp_kernel == "on"
+
+
 def _sqk_eff(sqk: Array, cfg: ViTConfig) -> Array:
     """Effective per-head sqk vector [H, D] (≙ reference model.py:108-110:
     ``sqk · (init_value/init_scaling)`` reshaped per-head)."""
@@ -160,7 +171,7 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
             c_fc_eff["b"] = p["c_fc"]["b"] * suv_eff
     else:
         c_fc_eff = p["c_fc"]
-    x_mlp = _gated_linear(c_fc_eff, x, compute_dtype=dt, use_kernel=cfg.flash_attn)
+    x_mlp = _gated_linear(c_fc_eff, x, compute_dtype=dt, use_kernel=_use_mlp_kernel(cfg))
     h_mlp = linear(p["mlp_c_proj"], x_mlp, compute_dtype=dt)
 
     if cfg.use_nvit:
@@ -220,7 +231,7 @@ def cross_attention_apply(
     else:
         att = attention(q, k, v, 1.0 / sqrt_hd, use_flash=cfg.flash_attn)
 
-    out = _gated_linear(p["proj"], _merge_heads(att), compute_dtype=dt, use_kernel=cfg.flash_attn)
+    out = _gated_linear(p["proj"], _merge_heads(att), compute_dtype=dt, use_kernel=_use_mlp_kernel(cfg))
     out = linear(p["out_proj"], out, compute_dtype=dt)
 
     if cfg.use_nvit:

@@ -46,9 +46,17 @@ _FWD_ROW, _FWD_COL = 512, 1024
 _BWD_ROW, _BWD_COL = 256, 1024
 
 
-def _pick(total: int, cap: int) -> int | None:
-    for cand in (cap, cap // 2, cap // 4, 128):
-        if cand >= 128 and total % cand == 0:
+def _pick(total: int, cap: int, step: int = 128) -> int | None:
+    """Largest divisor of ``total`` that is a multiple of ``step`` and ≤ cap.
+
+    Columns ride the 128-wide lane dimension (step=128).  ROWS only need
+    sublane alignment (step=16 covers bf16's 16 and fp32's 8), so batch
+    sizes whose B·T has few factors of two still tile — e.g. nViT-L at
+    B=12 has n = 12·784 = 9408 = 2^6·3·7², no 128-multiple divisor at all,
+    but a 448-row tile divides it exactly (round-2's nViT-L numbers
+    silently ran the XLA fallback because of the old 128-only search)."""
+    for cand in range(cap, step - 1, -step):
+        if total % cand == 0:
             return cand
     return None
 
@@ -72,7 +80,7 @@ def _fwd_kernel(x_ref, wu_ref, wv_ref, o_ref):
 def _fwd(x2: Array, wu: Array, wv: Array) -> Array:
     n, k = x2.shape
     h = wu.shape[1]
-    row, col = _pick(n, _FWD_ROW), _pick(h, _FWD_COL)
+    row, col = _pick(n, _FWD_ROW, 16), _pick(h, _FWD_COL)
     grid = (h // col, n // row)  # rows innermost: W tile fetched once per col
     return pl.pallas_call(
         _fwd_kernel,
@@ -107,7 +115,7 @@ def _fwd_kernel_b(x_ref, wu_ref, wv_ref, bu_ref, bv_ref, o_ref):
 def _fwd_b(x2: Array, wu: Array, wv: Array, bu: Array, bv: Array) -> Array:
     n, k = x2.shape
     h = wu.shape[1]
-    row, col = _pick(n, _FWD_ROW), _pick(h, _FWD_COL)
+    row, col = _pick(n, _FWD_ROW, 16), _pick(h, _FWD_COL)
     grid = (h // col, n // row)
     spec_b = pl.BlockSpec((1, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -167,7 +175,7 @@ def _bwd_duv_b(
 ) -> tuple[Array, Array]:
     n, k = x2.shape
     h = wu.shape[1]
-    row, col = _pick(n, _BWD_ROW), _pick(h, _BWD_COL)
+    row, col = _pick(n, _BWD_ROW, 16), _pick(h, _BWD_COL)
     grid = (h // col, n // row)
     spec_x = pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     spec_w = pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
@@ -193,7 +201,7 @@ def _bwd_duv_b(
 def _bwd_duv(x2: Array, wu: Array, wv: Array, g: Array) -> tuple[Array, Array]:
     n, k = x2.shape
     h = wu.shape[1]
-    row, col = _pick(n, _BWD_ROW), _pick(h, _BWD_COL)
+    row, col = _pick(n, _BWD_ROW, 16), _pick(h, _BWD_COL)
     grid = (h // col, n // row)
     spec_x = pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     spec_w = pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
@@ -288,7 +296,13 @@ def _xla_gated(x: Array, w: Array, b: Array | None) -> Array:
 
 
 def _tileable(n: int, k: int, h: int) -> bool:
-    return n % 128 == 0 and k % 128 == 0 and h % 256 == 0
+    return (
+        k % 128 == 0
+        and _pick(h, _FWD_COL) is not None
+        and _pick(h, _BWD_COL) is not None
+        and _pick(n, _FWD_ROW, 16) is not None
+        and _pick(n, _BWD_ROW, 16) is not None
+    )
 
 
 _warned_fallback = False
@@ -321,8 +335,9 @@ def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = 
 
                 logging.getLogger("nvit_tpu").warning(
                     "gated_mlp: fused kernel requested but shape (n=%d, k=%d, h=%d) "
-                    "does not tile (need n%%128==0, k%%128==0, h%%256==0) — using the "
-                    "XLA fallback", n, k, h,
+                    "does not tile (need k%%128==0, a ≤%d-col 128-multiple divisor "
+                    "of h, and ≤%d-row 16-multiple divisors of n) — using the "
+                    "XLA fallback", n, k, h, _FWD_COL, _FWD_ROW,
                 )
         return _xla_gated(x, w, b)
     x2 = x.reshape(n, k)

@@ -40,10 +40,15 @@ def report(tag, compiled):
 
 
 def main():
+    import os
+
     from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
     from nvit_tpu.train.step import make_loss_fn
 
-    cfg = flagship_config()
+    overrides = {}
+    if os.environ.get("NVIT_BENCH_LARGE", "0") == "1":  # nViT-L/16 (bench.py parity)
+        overrides.update(n_layer=24, n_head=16, n_embd=1024)
+    cfg = flagship_config(**overrides)
     state = create_train_state(cfg)
     imgs = jnp.zeros((B, 3, 224, 224), jnp.float32)
     labels = jnp.zeros((B,), jnp.int32)

@@ -28,7 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from nvit_tpu.ops.attention import qknorm_project_xla, sdpa_xla  # noqa: E402
 from nvit_tpu.ops.flash_attention import flash_attention, flash_attention_qknorm  # noqa: E402
-from nvit_tpu.ops.gated_mlp import _gated_core, _xla_gated  # noqa: E402
+from nvit_tpu.ops.gated_mlp import _gated_core, _gated_core_b, _xla_gated  # noqa: E402
 
 B, H, T, D = 2, 12, 784, 64
 SCALE = float(np.sqrt(D))  # the nViT scale — harder on the softmax than 1/sqrt(d)
@@ -77,7 +77,7 @@ def main() -> int:
         return sdpa_xla(qh, kh, v, SCALE)
 
     out_f = jax.jit(lambda q, k, v, s: flash_attention_qknorm(q, k, v, s, SCALE))(q, k, v, sqk)
-    out_x = jax.jit(ref_qkn)(q, k, v, sqk)
+    out_x = out_qkn_ref = jax.jit(ref_qkn)(q, k, v, sqk)
     ok &= record("qknorm_fwd_bf16", out_f, out_x, 2e-2)
 
     def loss_fq(q, k, v, s):
@@ -115,6 +115,41 @@ def main() -> int:
     gx = jax.jit(jax.grad(loss_gm_x, argnums=(0, 1, 2)))(x, wu, wv)
     for name, a, b in zip(("x", "wu", "wv"), gf, gx):
         ok &= record(f"gated_mlp_grad_d{name}_bf16", a, b, 3e-2)
+
+    # ---- fused gated-MLP BIAS variant (reference-default bias=true config) ----
+    bias = (0.1 * jax.random.normal(jax.random.PRNGKey(9), (2 * hdim,))).astype(jnp.float32)
+    bu = bias[:hdim].reshape(1, hdim).astype(jnp.bfloat16)
+    bv = bias[hdim:].reshape(1, hdim).astype(jnp.bfloat16)
+
+    out_f = jax.jit(_gated_core_b)(x, wu, wv, bu, bv)
+    out_x = jax.jit(
+        lambda x, wu, wv: _xla_gated(
+            x, jnp.concatenate([wu, wv], 1), jnp.concatenate([bu[0], bv[0]])
+        )
+    )(x, wu, wv)
+    ok &= record("gated_mlp_bias_fwd_bf16", out_f, out_x, 2e-2)
+
+    def loss_gmb_f(x, wu, wv, bu, bv):
+        return jnp.sum(_gated_core_b(x, wu, wv, bu, bv).astype(jnp.float32) * gm)
+
+    def loss_gmb_x(x, wu, wv, bu, bv):
+        return jnp.sum(
+            _xla_gated(
+                x, jnp.concatenate([wu, wv], 1), jnp.concatenate([bu[0], bv[0]])
+            ).astype(jnp.float32) * gm
+        )
+
+    gf = jax.jit(jax.grad(loss_gmb_f, argnums=(0, 1, 2, 3, 4)))(x, wu, wv, bu, bv)
+    gx = jax.jit(jax.grad(loss_gmb_x, argnums=(0, 1, 2, 3, 4)))(x, wu, wv, bu, bv)
+    for name, a, b in zip(("x", "wu", "wv", "bu", "bv"), gf, gx):
+        ok &= record(f"gated_mlp_bias_grad_d{name}_bf16", a, b, 3e-2)
+
+    # ---- static bounded-softmax modes of the QK-norm kernel ----
+    for mode in ("bounded", "rowmax"):
+        out_m = jax.jit(
+            lambda q, k, v, s, _m=mode: flash_attention_qknorm(q, k, v, s, SCALE, mode=_m)
+        )(q, k, v, sqk)
+        ok &= record(f"qknorm_fwd_{mode}_bf16", out_m, out_qkn_ref, 2e-2)
 
     print(("ALL_PASS" if ok else "SOME_FAILED") + f" ({len(checks)} checks)", flush=True)
     return 0 if ok else 1

@@ -73,6 +73,14 @@ def main() -> None:
         assert t2.iter_num == 6, t2.iter_num
         print(f"RANK{rank}_ORBAX_RESUMED iter={t2.iter_num}", flush=True)
 
+    if nproc > 1:
+        # absorb inter-rank drift (CPU-contended CI: the two workers share
+        # cores and can finish minutes apart) at a long-timeout collective
+        # barrier so the short SHUTDOWN barrier is reached in lockstep
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mp_worker_exit")
+
 
 if __name__ == "__main__":
     main()

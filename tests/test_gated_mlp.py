@@ -173,6 +173,56 @@ def test_dispatcher_fallback_is_exact_off_tpu():
     )
 
 
+def test_nvit_l_row_shapes_tile_and_match():
+    """nViT-L at B=12 has n = 12·784 = 9408 = 2^6·3·7² — NO 128-multiple
+    divisor, so the old row-tile search silently fell back to XLA for every
+    nViT-L bench (round-2 regression found by the loud-fallback log).  Rows
+    only need sublane (16) alignment; the generalized search must tile these
+    shapes and stay numerically identical."""
+    from nvit_tpu.ops.gated_mlp import _pick
+
+    assert _tileable(12 * 784, 1024, 2048)  # the real nViT-L MLP gate
+    assert _tileable(12 * 784, 1024, 1024)  # the cross-attn gate
+    assert _pick(9408, 512, 16) == 448  # largest 16-multiple divisor ≤ 512
+
+    # same arithmetic class at test scale: n = 336 = 2^4·3·7
+    n, k, h2 = 336, 128, 512
+    x, w = rand(13, n, k, h2)
+    with pltpu.force_tpu_interpret_mode():
+        out = core(x, w)
+        gx, gw = jax.grad(
+            lambda x, w: jnp.sum(jnp.square(core(x, w))), argnums=(0, 1)
+        )(x, w)
+    ref = _xla_gated(x, w, None)
+    rx, rw = jax.grad(
+        lambda x, w: jnp.sum(jnp.square(_xla_gated(x, w, None))), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=5e-5, atol=5e-5)
+
+
+def test_use_mlp_kernel_resolution():
+    """gated_mlp_kernel config knob: 'auto' uses the kernel iff n_embd ≤ 768
+    (measured v5e crossover: d=768 +7%, d=1024 −7% — BASELINE.md round 3);
+    flash_attn=False gates everything off."""
+    from nvit_tpu.configs.schema import ViTConfig
+    from nvit_tpu.models.blocks import _use_mlp_kernel
+
+    kw = dict(n_layer=2, n_head=8, image_size=224)
+    assert _use_mlp_kernel(ViTConfig(n_embd=768, flash_attn=True, **kw))
+    assert not _use_mlp_kernel(ViTConfig(n_embd=1024, n_head=16, flash_attn=True, n_layer=2, image_size=224))
+    assert not _use_mlp_kernel(ViTConfig(n_embd=768, flash_attn=False, **kw))
+    on = ViTConfig(n_embd=1024, n_head=16, flash_attn=True, gated_mlp_kernel="on", n_layer=2, image_size=224)
+    assert _use_mlp_kernel(on)
+    off = ViTConfig(n_embd=768, flash_attn=True, gated_mlp_kernel="off", **kw)
+    assert not _use_mlp_kernel(off)
+    import pytest
+
+    with pytest.raises(ValueError, match="gated_mlp_kernel"):
+        ViTConfig(gated_mlp_kernel="bogus").validate()
+
+
 def test_flagship_shapes_dispatch_to_kernel():
     """Regression guard: the nViT-B/16 flagship MLP ([B·T, d] @ [d, 8d]) and
     cross-attention gate ([B·T, d] @ [d, 2d]) must hit the Pallas kernel on
