@@ -115,6 +115,10 @@ def _load_secrets_file(path: str | Path) -> dict[str, Any]:
     """Read secrets.yaml: config-tree sections merge into the settings overlay;
     flat scalar keys (e.g. ``wandb_api_key``) go to the get_secret store."""
     path = Path(path)
+    # each load_config reflects ONLY the current secrets file — without the
+    # clear, a second load (different cwd / explicit path) would keep serving
+    # the first file's flat keys through get_secret
+    _SECRETS.clear()
     if not path.exists():
         return {}
     loaded = yaml.safe_load(path.read_text()) or {}

@@ -43,7 +43,12 @@ def timeit(name, fn, *args, sync):
 
 
 def main():
-    cfg = flagship_config()
+    import os
+
+    overrides = {}
+    if os.environ.get("NVIT_BENCH_LARGE", "0") == "1":  # nViT-L/16 (bench.py parity)
+        overrides.update(n_layer=24, n_head=16, n_embd=1024)
+    cfg = flagship_config(**overrides)
     state = create_train_state(cfg)
     loss_fn = make_loss_fn(cfg)
 

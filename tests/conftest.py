@@ -30,3 +30,21 @@ def pytest_sessionstart(session):
         f"tests must run on the virtual CPU platform, got {jax.default_backend()}"
     )
     assert jax.device_count() >= 8, "multi-device tests need >=8 virtual CPU devices"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_flat_secrets():
+    """The flat-secrets store (configs.loader._SECRETS) is process-global
+    state fed by load_config; without isolation, a test that loads a
+    secrets.yaml leaks its keys into every later get_secret call
+    (test_config's s3cret broke test_obs_and_entry's keyless-wandb case)."""
+    from nvit_tpu.configs import loader
+
+    saved = dict(loader._SECRETS)
+    loader._SECRETS.clear()
+    yield
+    loader._SECRETS.clear()
+    loader._SECRETS.update(saved)
