@@ -25,7 +25,11 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import nvit_tpu.ops.gated_mlp as gm
+import importlib
+
+# nvit_tpu.ops re-exports the gated_mlp FUNCTION, which shadows the submodule
+# on ``import ... as`` attribute lookup — resolve the module explicitly
+gm = importlib.import_module("nvit_tpu.ops.gated_mlp")
 
 N, K, H = 9408, 1024, 4096
 WARMUP, ITERS = 2, 30
