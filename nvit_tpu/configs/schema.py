@@ -212,7 +212,7 @@ class DataConfig:
     """≙ reference settings.yaml:85-96 (data section)."""
 
     out_dir: str = "./out"
-    dataset: str = "cifar100"  # cifar10 | cifar100 | imagenet | synthetic
+    dataset: str = "cifar100"  # cifar10 | cifar100 | imagenet | synthetic | digits (bundled real data)
     data_dir: str = "./data"
     checkpoint_dir: str = "./out"
     checkpoint_file: str = "checkpoint_latest"

@@ -130,7 +130,7 @@ IMAGENET_POLICY = [
 ]
 
 _POLICIES = {"cifar10": CIFAR10_POLICY, "cifar100": CIFAR10_POLICY, "imagenet": IMAGENET_POLICY,
-             "synthetic": CIFAR10_POLICY}
+             "synthetic": CIFAR10_POLICY, "digits": CIFAR10_POLICY}
 
 
 def _policy_arrays(policy) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -173,6 +173,39 @@ def make_synthetic(
     return ArrayDataset(images=images, labels=labels, num_classes=num_classes, name="synthetic")
 
 
+def load_digits_dataset(*, train: bool = True, image_size: int = 16) -> ArrayDataset:
+    """REAL images with zero downloads: scikit-learn's bundled copy of the UCI
+    optical-recognition-of-handwritten-digits set (1797 8×8 grayscale images,
+    10 classes).  The only real dataset reachable in a zero-egress
+    environment — it turns "loss decreases" integration checks into genuine
+    held-out-accuracy checks (synthetic data can only prove optimization,
+    never generalization).  ≙ reference train.py:277-304 dataset selection
+    (smallest member of the family).
+
+    Deterministic 80/20 split by a fixed permutation; nearest-neighbor
+    upscale to ``image_size`` (a multiple of 8) and channel replication
+    to [N, 3, S, S] uint8.
+    """
+    try:
+        from sklearn.datasets import load_digits
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "dataset='digits' requires scikit-learn (its data is bundled; no download)"
+        ) from e
+    if image_size % 8 != 0:
+        raise ValueError(f"digits images are 8×8; image_size must be a multiple of 8, got {image_size}")
+    d = load_digits()
+    imgs = (d.images * (255.0 / 16.0)).round().clip(0, 255).astype(np.uint8)  # pixel range is 0..16
+    perm = np.random.RandomState(1797).permutation(len(imgs))
+    idx = perm[len(imgs) // 5:] if train else perm[: len(imgs) // 5]
+    f = image_size // 8
+    sel = np.repeat(np.repeat(imgs[idx], f, axis=1), f, axis=2)
+    images = np.broadcast_to(sel[:, None, :, :], (len(idx), 3, image_size, image_size)).copy()
+    return ArrayDataset(
+        images=images, labels=d.target[idx].astype(np.int32), num_classes=10, name="digits"
+    )
+
+
 def load_dataset(
     dataset: str, data_dir: str | Path, *, train: bool = True, image_size: int = 32, num_classes: int = 100
 ):
@@ -182,6 +215,8 @@ def load_dataset(
         return load_cifar(data_dir, variant=d, train=train)
     if d == "imagenet":
         return load_imagenet(data_dir, split="train" if train else "val", image_size=image_size)
+    if d == "digits":
+        return load_digits_dataset(train=train, image_size=image_size)
     if d == "synthetic":
         return make_synthetic(
             num_examples=4096 if train else 1024,
