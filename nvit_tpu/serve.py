@@ -1,0 +1,156 @@
+"""Minimal production-style HTTP serving frontend for the Predictor API.
+
+The reference has no serving surface at all (its only inference path is
+``validate_only``, train.py:179-189); ``nvit_tpu.infer.Predictor`` added a
+first-class batched predictor, and this module wraps it in a dependency-free
+HTTP server so a checkpoint can be served with one command:
+
+    python -m nvit_tpu.serve --checkpoint out --name checkpoint_best --port 8321
+
+Endpoints:
+
+* ``GET  /healthz``  → ``{"status": "ok", "model": {...}}`` (also warms the jit)
+* ``POST /predict``  → body is either
+    - raw uint8 bytes of one [C, H, W] image (Content-Type: application/octet-stream), or
+    - JSON ``{"images": [[[...]]], "top_k": 5}`` with one [C,H,W] or a
+      [B,C,H,W] batch of 0-255 ints;
+  response ``{"labels": [[...]], "probs": [[...]]}`` (top-k per image).
+
+Design notes (TPU serving):
+
+* One Predictor per process — the jitted forward holds the chip; requests are
+  serialized through a lock (XLA executes one program at a time per device
+  anyway, so a queue in front of the device is the correct shape; run more
+  processes for more chips).
+* Requests are padded up to the next power-of-two batch (≤ max_batch) so the
+  server compiles a handful of programs total instead of one per batch size —
+  recompilation on an unseen shape would stall the serving path for seconds.
+* stdlib-only (http.server): deploys anywhere the framework runs; any real
+  frontend (gunicorn/envoy/…) can sit in front, or import ``make_handler``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from nvit_tpu.infer import Predictor
+
+
+def _pad_batch(images: np.ndarray, max_batch: int) -> tuple[np.ndarray, int]:
+    """Pad [B, C, H, W] up to the next power of two (≤ max_batch) so the jit
+    cache stays small; returns (padded, real_batch)."""
+    b = images.shape[0]
+    if b > max_batch:
+        raise ValueError(f"batch {b} exceeds max_batch {max_batch}")
+    padded = 1
+    while padded < b:
+        padded *= 2
+    padded = min(padded, max_batch)
+    if padded == b:
+        return images, b
+    pad = np.zeros((padded - b, *images.shape[1:]), dtype=images.dtype)
+    return np.concatenate([images, pad], axis=0), b
+
+
+class InferenceService:
+    """Thread-safe top-k prediction on a Predictor (shared by all handlers)."""
+
+    def __init__(self, predictor: Predictor, *, max_batch: int = 64):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        c = predictor.cfg
+        self.model_info = {
+            "image_size": c.image_size, "num_classes": c.num_classes,
+            "n_layer": c.n_layer, "n_embd": c.n_embd,
+            "use_nvit": c.use_nvit, "use_kohonen": c.use_kohonen,
+        }
+        self._shape = (3, c.image_size, c.image_size)
+
+    def warmup(self) -> None:
+        self.predict(np.zeros((1, *self._shape), dtype=np.uint8))
+
+    def parse(self, body: bytes, content_type: str) -> tuple[np.ndarray, int]:
+        """→ (images uint8 [B, C, H, W], top_k)."""
+        if content_type.startswith("application/octet-stream"):
+            expect = int(np.prod(self._shape))
+            if len(body) != expect:
+                raise ValueError(f"raw body must be {expect} bytes ({self._shape} uint8), got {len(body)}")
+            return np.frombuffer(body, dtype=np.uint8).reshape(1, *self._shape), 1
+        req = json.loads(body)
+        images = np.asarray(req["images"])
+        if images.ndim == 3:
+            images = images[None]
+        if images.ndim != 4 or images.shape[1:] != self._shape:
+            raise ValueError(f"images must be [B,{','.join(map(str, self._shape))}], got {images.shape}")
+        if images.min() < 0 or images.max() > 255:
+            raise ValueError("pixel values must be 0..255")
+        return images.astype(np.uint8), int(req.get("top_k", 1))
+
+    def predict(self, images: np.ndarray, top_k: int = 1) -> dict:
+        padded, b = _pad_batch(images, self.max_batch)
+        with self._lock:
+            labels, probs = self.predictor.predict(padded, top_k=top_k)
+        return {"labels": labels[:b].tolist(), "probs": probs[:b].tolist()}
+
+
+def make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            import logging
+
+            logging.getLogger("nvit_tpu.serve").debug(fmt, *args)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", "model": service.model_info})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                images, top_k = service.parse(body, self.headers.get("Content-Type", ""))
+                self._reply(200, service.predict(images, top_k))
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+
+    return Handler
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Serve an nvit_tpu checkpoint over HTTP")
+    ap.add_argument("--checkpoint", default="out", help="checkpoint directory")
+    ap.add_argument("--name", default="checkpoint_best", help="checkpoint name")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8321)
+    ap.add_argument("--max-batch", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    service = InferenceService(
+        Predictor.from_checkpoint(args.checkpoint, args.name), max_batch=args.max_batch
+    )
+    service.warmup()
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving {args.checkpoint}/{args.name} on http://{args.host}:{args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""HTTP serving frontend: real server thread + http.client round-trips."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from nvit_tpu.configs.schema import Config, ViTConfig
+from nvit_tpu.infer import Predictor
+from nvit_tpu.serve import InferenceService, _pad_batch, make_handler
+
+
+def _tiny_cfg() -> Config:
+    return Config(
+        model=ViTConfig(
+            image_size=16, n_layer=1, n_head=2, n_embd=32, num_classes=10,
+            local_patch_size=4, global_patch_size=8, use_nvit=True,
+            use_kohonen=False, flash_attn=False,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+
+    service = InferenceService(Predictor.from_config(_tiny_cfg()), max_batch=8)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _request(addr, method, path, body=None, content_type="application/json"):
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    headers = {"Content-Type": content_type} if body is not None else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    return resp.status, payload
+
+
+class TestPadBatch:
+    def test_pads_to_power_of_two(self):
+        imgs = np.zeros((3, 3, 16, 16), np.uint8)
+        padded, b = _pad_batch(imgs, 64)
+        assert padded.shape[0] == 4 and b == 3
+
+    def test_exact_power_untouched(self):
+        imgs = np.zeros((4, 3, 16, 16), np.uint8)
+        padded, b = _pad_batch(imgs, 64)
+        assert padded is imgs and b == 4
+
+    def test_over_max_raises(self):
+        with pytest.raises(ValueError, match="max_batch"):
+            _pad_batch(np.zeros((9, 3, 16, 16), np.uint8), 8)
+
+
+class TestEndpoints:
+    def test_healthz(self, server):
+        status, payload = _request(server, "GET", "/healthz")
+        assert status == 200
+        assert payload["status"] == "ok"
+        assert payload["model"]["num_classes"] == 10
+
+    def test_predict_json_batch(self, server):
+        imgs = np.random.RandomState(0).randint(0, 256, (3, 3, 16, 16)).tolist()
+        status, payload = _request(
+            server, "POST", "/predict", json.dumps({"images": imgs, "top_k": 5})
+        )
+        assert status == 200
+        labels = np.asarray(payload["labels"])
+        probs = np.asarray(payload["probs"])
+        assert labels.shape == (3, 5) and probs.shape == (3, 5)
+        assert (probs >= 0).all() and (probs <= 1).all()
+        # top-k probs are sorted descending per image
+        assert (np.diff(probs, axis=1) <= 1e-6).all()
+
+    def test_predict_raw_bytes(self, server):
+        body = np.random.RandomState(1).randint(0, 256, 3 * 16 * 16).astype(np.uint8).tobytes()
+        status, payload = _request(
+            server, "POST", "/predict", body, content_type="application/octet-stream"
+        )
+        assert status == 200
+        assert len(payload["labels"]) == 1
+
+    def test_padding_does_not_change_results(self, server):
+        """A batch of 3 (padded to 4) must predict the same as one-by-one."""
+        rng = np.random.RandomState(2)
+        imgs = rng.randint(0, 256, (3, 3, 16, 16))
+        _, batch = _request(server, "POST", "/predict", json.dumps({"images": imgs.tolist()}))
+        for i in range(3):
+            _, single = _request(
+                server, "POST", "/predict", json.dumps({"images": imgs[i].tolist()})
+            )
+            assert single["labels"][0] == batch["labels"][i]
+            assert single["probs"][0][0] == pytest.approx(batch["probs"][i][0], rel=1e-4)
+
+    def test_bad_shape_400(self, server):
+        status, payload = _request(
+            server, "POST", "/predict", json.dumps({"images": [[[0] * 8] * 8] * 3})
+        )
+        assert status == 400 and "images must be" in payload["error"]
+
+    def test_bad_json_400(self, server):
+        status, payload = _request(server, "POST", "/predict", "not json{")
+        assert status == 400
+
+    def test_unknown_path_404(self, server):
+        status, _ = _request(server, "GET", "/nope")
+        assert status == 404
