@@ -1,0 +1,126 @@
+"""Inference-only checkpoint export: params, no optimizer state.
+
+A training checkpoint carries the full TrainState — params plus two fp32
+AdamW moment trees (and SOM state) — roughly 6× the bf16 parameter bytes.
+Serving needs none of that.  ``export_for_inference`` writes a compact
+artifact (params-only npz + model-config json, atomic like the trainer's
+checkpoints) that ``Predictor.from_export`` / ``load_export`` restore
+without constructing an optimizer.  The reference has no deployment story
+(its checkpoints are full torch train dicts, train.py:640-650); this is the
+TPU-serving completion of that surface.
+
+    python -m nvit_tpu.ckpt.export --checkpoint out --name checkpoint_best --dest deploy/
+    # → deploy/checkpoint_best.export.npz + .export.json  (~6× smaller)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+EXPORT_FORMAT = "nvit_tpu.ckpt.export.v1"
+
+
+def export_for_inference(
+    out_dir: str | Path,
+    name: str,
+    dest: str | Path,
+    *,
+    dtype: str = "bfloat16",
+) -> Path:
+    """Read a training checkpoint (npz or orbax) and write a params-only
+    export artifact to ``dest``.  ``dtype`` is the storage dtype for
+    floating-point leaves ('bfloat16' halves the artifact; 'float32' keeps
+    the master copy exact)."""
+    from nvit_tpu.ckpt.checkpoint import restore_for_resume
+
+    if dtype not in ("bfloat16", "float32"):
+        raise ValueError(f"export dtype must be bfloat16 or float32, got {dtype!r}")
+    state, cfg, meta = restore_for_resume(out_dir, name)
+    params = jax.device_get(state.params)
+    leaves = jax.tree_util.tree_leaves(params)
+    np_dtype = np.dtype(dtype) if dtype == "float32" else jax.numpy.bfloat16.dtype
+    stored = [
+        np.asarray(x).astype(np_dtype) if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x)
+        for x in leaves
+    ]
+
+    dest = Path(dest)
+    dest.mkdir(parents=True, exist_ok=True)
+    arrays_path = dest / f"{name}.export.npz"
+    meta_path = dest / f"{name}.export.json"
+    # append (don't substitute) the suffix: with_suffix would collapse both
+    # "<name>.export.npz" and "<name>.export.json" onto the same tmp name
+    tmp_a = arrays_path.with_name(arrays_path.name + ".tmp")
+    tmp_m = meta_path.with_name(meta_path.name + ".tmp")
+    with open(tmp_a, "wb") as f:
+        np.savez(f, **{f"leaf_{i}": a for i, a in enumerate(stored)})
+    tmp_m.write_text(
+        json.dumps(
+            {
+                "format": EXPORT_FORMAT,
+                "model": cfg.to_dict()["model"],
+                "dtype": dtype,
+                "num_leaves": len(stored),
+                "source_iter": meta.get("iter_num"),
+                "source_metrics": meta.get("metrics", {}),
+            },
+            indent=2,
+            default=str,
+        )
+    )
+    tmp_a.replace(arrays_path)
+    tmp_m.replace(meta_path)
+    return arrays_path
+
+
+def load_export(dest: str | Path, name: str) -> tuple[Any, "ViTConfig"]:  # noqa: F821
+    """→ (params pytree, ViTConfig) from an export artifact."""
+    from nvit_tpu.configs.schema import ViTConfig, merge_dataclass
+    from nvit_tpu.models.vit import init_vit
+
+    dest = Path(dest)
+    meta = json.loads((dest / f"{name}.export.json").read_text())
+    if meta.get("format") != EXPORT_FORMAT:
+        raise ValueError(f"not an inference export: format={meta.get('format')!r}")
+    model_cfg = merge_dataclass(ViTConfig(), meta["model"])
+    # template gives the treedef; leaves are replaced by the stored arrays
+    template = init_vit(jax.random.PRNGKey(0), model_cfg)
+    treedef = jax.tree_util.tree_structure(template)
+    with np.load(dest / f"{name}.export.npz") as z:
+        stored = [z[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+    # npz stores bfloat16 as a 2-byte void dtype — view it back
+    import ml_dtypes
+
+    stored = [
+        a.view(ml_dtypes.bfloat16) if a.dtype.kind == "V" and a.dtype.itemsize == 2 else a
+        for a in stored
+    ]
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(t_leaves) != len(stored):
+        raise ValueError(f"leaf count mismatch: template {len(t_leaves)} vs stored {len(stored)}")
+    params = jax.tree_util.tree_unflatten(treedef, stored)
+    return params, model_cfg
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Export a params-only inference artifact")
+    ap.add_argument("--checkpoint", default="out")
+    ap.add_argument("--name", default="checkpoint_best")
+    ap.add_argument("--dest", default="deploy")
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = ap.parse_args(argv)
+    path = export_for_inference(args.checkpoint, args.name, args.dest, dtype=args.dtype)
+    size_mb = path.stat().st_size / 1e6
+    src = Path(args.checkpoint) / f"{args.name}.npz"
+    note = f" (train ckpt {src.stat().st_size / 1e6:.1f} MB)" if src.exists() else ""
+    print(f"exported {path} ({size_mb:.1f} MB{note})")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,15 @@ class Predictor:
         return cls(state.params, cfg.model, **kw)
 
     @classmethod
+    def from_export(cls, dest: str | Path, name: str = "checkpoint_best", **kw) -> "Predictor":
+        """Load a params-only inference artifact (ckpt.export) — no optimizer
+        state is read or constructed."""
+        from nvit_tpu.ckpt.export import load_export
+
+        params, model_cfg = load_export(dest, name)
+        return cls(params, model_cfg, **kw)
+
+    @classmethod
     def from_config(cls, cfg: Config, seed: int = 0, **kw) -> "Predictor":
         """Fresh-weights predictor (testing / warm-pool prebuild)."""
         from nvit_tpu.models.vit import init_vit

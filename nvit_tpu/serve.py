@@ -141,11 +141,12 @@ def main(argv=None) -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8321)
     ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--export", action="store_true",
+                    help="load a params-only inference export (ckpt.export) instead of a training checkpoint")
     args = ap.parse_args(argv)
 
-    service = InferenceService(
-        Predictor.from_checkpoint(args.checkpoint, args.name), max_batch=args.max_batch
-    )
+    load = Predictor.from_export if args.export else Predictor.from_checkpoint
+    service = InferenceService(load(args.checkpoint, args.name), max_batch=args.max_batch)
     service.warmup()
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving {args.checkpoint}/{args.name} on http://{args.host}:{args.port}", flush=True)
