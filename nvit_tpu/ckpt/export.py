@@ -89,8 +89,10 @@ def load_export(dest: str | Path, name: str) -> tuple[Any, "ViTConfig"]:  # noqa
     if meta.get("format") != EXPORT_FORMAT:
         raise ValueError(f"not an inference export: format={meta.get('format')!r}")
     model_cfg = merge_dataclass(ViTConfig(), meta["model"])
-    # template gives the treedef; leaves are replaced by the stored arrays
-    template = init_vit(jax.random.PRNGKey(0), model_cfg)
+    # abstract template gives the treedef without running (or compiling) the
+    # initializer — matters on the TPU serving path where a throwaway init
+    # would be a real compiled program
+    template = jax.eval_shape(lambda k: init_vit(k, model_cfg), jax.random.PRNGKey(0))
     treedef = jax.tree_util.tree_structure(template)
     with np.load(dest / f"{name}.export.npz") as z:
         stored = [z[f"leaf_{i}"] for i in range(meta["num_leaves"])]

@@ -9,7 +9,7 @@ HTTP server so a checkpoint can be served with one command:
 
 Endpoints:
 
-* ``GET  /healthz``  → ``{"status": "ok", "model": {...}}`` (also warms the jit)
+* ``GET  /healthz``  → ``{"status": "ok", "model": {...}}``
 * ``POST /predict``  → body is either
     - raw uint8 bytes of one [C, H, W] image (Content-Type: application/octet-stream), or
     - JSON ``{"images": [[[...]]], "top_k": 5}`` with one [C,H,W] or a
@@ -26,7 +26,9 @@ Design notes (TPU serving):
   server compiles a handful of programs total instead of one per batch size —
   recompilation on an unseen shape would stall the serving path for seconds.
 * stdlib-only (http.server): deploys anywhere the framework runs; any real
-  frontend (gunicorn/envoy/…) can sit in front, or import ``make_handler``.
+  frontend (gunicorn/envoy/…) can sit in front, or import ``make_handler``
+  — call ``service.warmup()`` before serving traffic (``main`` does), or the
+  first /predict pays the full jit compile while holding the service lock.
 """
 
 from __future__ import annotations
@@ -83,14 +85,24 @@ class InferenceService:
                 raise ValueError(f"raw body must be {expect} bytes ({self._shape} uint8), got {len(body)}")
             return np.frombuffer(body, dtype=np.uint8).reshape(1, *self._shape), 1
         req = json.loads(body)
-        images = np.asarray(req["images"])
+        if not isinstance(req, dict) or "images" not in req:
+            raise ValueError('JSON body must be an object with an "images" field')
+        try:
+            images = np.asarray(req["images"], dtype=np.float64)
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"images must be a numeric array: {e}") from e
         if images.ndim == 3:
             images = images[None]
         if images.ndim != 4 or images.shape[1:] != self._shape:
             raise ValueError(f"images must be [B,{','.join(map(str, self._shape))}], got {images.shape}")
-        if images.min() < 0 or images.max() > 255:
+        if images.size == 0 or images.min() < 0 or images.max() > 255:
             raise ValueError("pixel values must be 0..255")
-        return images.astype(np.uint8), int(req.get("top_k", 1))
+        top_k = req.get("top_k", 1)
+        if not isinstance(top_k, int) or isinstance(top_k, bool) or not (
+            1 <= top_k <= self.model_info["num_classes"]
+        ):
+            raise ValueError(f"top_k must be an int in 1..{self.model_info['num_classes']}, got {top_k!r}")
+        return np.rint(images).astype(np.uint8), top_k
 
     def predict(self, images: np.ndarray, top_k: int = 1) -> dict:
         padded, b = _pad_batch(images, self.max_batch)
@@ -125,10 +137,18 @@ def make_handler(service: InferenceService):
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
             try:
-                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                length = int(self.headers.get("Content-Length", 0))
+                # bound the allocation BEFORE reading: JSON encodes a pixel in
+                # ≤4 bytes, so anything past this cannot be a valid max_batch
+                # request — reject without buffering it
+                limit = service.max_batch * int(np.prod(service._shape)) * 8 + 65536
+                if length > limit:
+                    self._reply(413, {"error": f"body {length} bytes exceeds limit {limit}"})
+                    return
+                body = self.rfile.read(length)
                 images, top_k = service.parse(body, self.headers.get("Content-Type", ""))
                 self._reply(200, service.predict(images, top_k))
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
 
     return Handler

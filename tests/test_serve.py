@@ -110,6 +110,40 @@ class TestEndpoints:
         status, payload = _request(server, "POST", "/predict", "not json{")
         assert status == 400
 
+    def test_non_object_json_400(self, server):
+        status, payload = _request(server, "POST", "/predict", "[1, 2]")
+        assert status == 400 and "images" in payload["error"]
+
+    def test_bad_top_k_400(self, server):
+        img = np.zeros((3, 16, 16), np.uint8).tolist()
+        for bad in (-1, 0, 99, None, "5", True):
+            status, payload = _request(
+                server, "POST", "/predict", json.dumps({"images": img, "top_k": bad})
+            )
+            assert status == 400 and "top_k" in payload["error"], bad
+
+    def test_non_numeric_images_400(self, server):
+        img = [[["x"] * 16] * 16] * 3
+        status, payload = _request(server, "POST", "/predict", json.dumps({"images": img}))
+        assert status == 400
+
+    def test_float_pixels_rounded_not_truncated(self, server):
+        base = np.full((3, 16, 16), 100, np.uint8)
+        _, p_int = _request(server, "POST", "/predict", json.dumps({"images": base.tolist()}))
+        _, p_flt = _request(
+            server, "POST", "/predict", json.dumps({"images": (base + 0.4).tolist()})
+        )
+        assert p_int["probs"][0][0] == pytest.approx(p_flt["probs"][0][0], rel=1e-6)
+
+    def test_oversize_body_413(self, server):
+        conn = http.client.HTTPConnection(*server, timeout=30)
+        conn.request(
+            "POST", "/predict", body=b"", headers={"Content-Length": str(1 << 31)}
+        )
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
     def test_unknown_path_404(self, server):
         status, _ = _request(server, "GET", "/nope")
         assert status == 404
