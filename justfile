@@ -66,6 +66,11 @@ debug:
 accuracy-parity:
     ./scripts/accuracy_parity.sh
 
+# Real-data ablation matrix on the BUNDLED digits set (no downloads needed):
+# baseline ViT / nViT / nViT+Kohonen, held-out top-1 summary at the end.
+digits-matrix:
+    ./scripts/digits_matrix.sh
+
 test:
     python -m pytest tests/ -x -q
 
