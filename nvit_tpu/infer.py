@@ -28,9 +28,26 @@ from nvit_tpu.models.vit import vit_apply
 
 
 class Predictor:
-    def __init__(self, params, model_cfg: ViTConfig, *, compute_dtype=jnp.bfloat16):
-        self.params = params
+    def __init__(
+        self, params, model_cfg: ViTConfig, *, compute_dtype=jnp.bfloat16,
+        data_parallel: bool = False,
+    ):
+        """``data_parallel=True`` shards prediction batches over ALL attached
+        devices (params replicated, batch split on a 1-D ``data`` mesh —
+        the serving shape for multi-chip TPU hosts).  Batches are padded to a
+        device multiple internally; results are identical to single-device."""
         self.cfg = model_cfg
+        self._batch_multiple = 1
+        if data_parallel:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+            self._batch_multiple = len(jax.devices())
+            self._in_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self._in_sharding = None
+        self.params = params
 
         def forward(p, images_u8: Array) -> Array:
             x = normalize(images_u8)
@@ -65,7 +82,16 @@ class Predictor:
 
     def predict_probs(self, images_u8) -> np.ndarray:
         """[B, C, H, W] uint8 → softmax probabilities [B, num_classes]."""
-        return np.asarray(self._forward(self.params, jnp.asarray(images_u8)))
+        images_u8 = np.asarray(images_u8)
+        b = images_u8.shape[0]
+        m = self._batch_multiple
+        if b % m:  # pad to a device multiple for even batch sharding
+            pad = np.zeros((m - b % m, *images_u8.shape[1:]), images_u8.dtype)
+            images_u8 = np.concatenate([images_u8, pad], axis=0)
+        x = jnp.asarray(images_u8)
+        if self._in_sharding is not None:
+            x = jax.device_put(x, self._in_sharding)
+        return np.asarray(self._forward(self.params, x))[:b]
 
     def predict(self, images_u8, top_k: int = 1) -> tuple[np.ndarray, np.ndarray]:
         """→ (top-k class indices [B, k], probabilities [B, k])."""

@@ -163,10 +163,15 @@ def main(argv=None) -> None:
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--export", action="store_true",
                     help="load a params-only inference export (ckpt.export) instead of a training checkpoint")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard prediction batches over all attached devices (multi-chip hosts)")
     args = ap.parse_args(argv)
 
     load = Predictor.from_export if args.export else Predictor.from_checkpoint
-    service = InferenceService(load(args.checkpoint, args.name), max_batch=args.max_batch)
+    service = InferenceService(
+        load(args.checkpoint, args.name, data_parallel=args.data_parallel),
+        max_batch=args.max_batch,
+    )
     service.warmup()
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving {args.checkpoint}/{args.name} on http://{args.host}:{args.port}", flush=True)

@@ -61,3 +61,20 @@ def test_predictor_from_checkpoint(tmp_path):
     ref = vit_apply(state.params, cfg.model, normalize(jnp.asarray(imgs))).logits
     ref_probs = np.asarray(jax.nn.softmax(ref.astype(jnp.float32), -1))
     np.testing.assert_allclose(probs, ref_probs, rtol=1e-4, atol=1e-6)
+
+
+def test_predictor_data_parallel_matches_single_device(tmp_path):
+    """Batch-sharded prediction over the 8-device CPU mesh ≡ single-device,
+    including internal padding for batches that don't divide the mesh."""
+    import jax
+
+    cfg = small_cfg(tmp_path)
+    single = Predictor.from_config(cfg, compute_dtype=None)
+    dp = Predictor(single.params, cfg.model, compute_dtype=None, data_parallel=True)
+    assert dp._batch_multiple == jax.device_count() >= 8
+    rng = np.random.RandomState(3)
+    for b in (3, 8, 16):  # 3 exercises the pad-and-slice path
+        imgs = rng.randint(0, 256, (b, 3, 16, 16), dtype=np.uint8)
+        np.testing.assert_allclose(
+            dp.predict_probs(imgs), single.predict_probs(imgs), rtol=1e-5, atol=1e-6
+        )
