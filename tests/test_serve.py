@@ -147,3 +147,29 @@ class TestEndpoints:
     def test_unknown_path_404(self, server):
         status, _ = _request(server, "GET", "/nope")
         assert status == 404
+
+
+class TestConcurrency:
+    def test_parallel_clients_all_succeed(self, server):
+        """ThreadingHTTPServer + the service lock: 8 concurrent predicts all
+        return 200 with per-request results (no interleaving corruption)."""
+        import concurrent.futures
+
+        rng = np.random.RandomState(7)
+        batches = [rng.randint(0, 256, (2, 3, 16, 16)) for _ in range(8)]
+
+        def one(imgs):
+            status, payload = _request(
+                server, "POST", "/predict", json.dumps({"images": imgs.tolist()})
+            )
+            return status, payload
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(one, batches))
+        assert all(s == 200 for s, _ in results)
+        # each response matches a serial run of the same batch
+        for (status, payload), imgs in zip(results, batches):
+            serial = _request(
+                server, "POST", "/predict", json.dumps({"images": imgs.tolist()})
+            )[1]
+            assert payload["labels"] == serial["labels"]
