@@ -37,46 +37,33 @@ def export_for_inference(
     export artifact to ``dest``.  ``dtype`` is the storage dtype for
     floating-point leaves ('bfloat16' halves the artifact; 'float32' keeps
     the master copy exact)."""
-    from nvit_tpu.ckpt.checkpoint import restore_for_resume
+    from nvit_tpu.ckpt.checkpoint import _write_files, restore_for_resume
 
     if dtype not in ("bfloat16", "float32"):
         raise ValueError(f"export dtype must be bfloat16 or float32, got {dtype!r}")
     state, cfg, meta = restore_for_resume(out_dir, name)
-    params = jax.device_get(state.params)
-    leaves = jax.tree_util.tree_leaves(params)
     np_dtype = np.dtype(dtype) if dtype == "float32" else jax.numpy.bfloat16.dtype
-    stored = [
-        np.asarray(x).astype(np_dtype) if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x)
-        for x in leaves
-    ]
+    stored = []
+    for x in jax.tree_util.tree_leaves(jax.device_get(state.params)):
+        a = np.asarray(x)
+        stored.append(a.astype(np_dtype) if np.issubdtype(a.dtype, np.floating) else a)
 
     dest = Path(dest)
     dest.mkdir(parents=True, exist_ok=True)
-    arrays_path = dest / f"{name}.export.npz"
-    meta_path = dest / f"{name}.export.json"
-    # append (don't substitute) the suffix: with_suffix would collapse both
-    # "<name>.export.npz" and "<name>.export.json" onto the same tmp name
-    tmp_a = arrays_path.with_name(arrays_path.name + ".tmp")
-    tmp_m = meta_path.with_name(meta_path.name + ".tmp")
-    with open(tmp_a, "wb") as f:
-        np.savez(f, **{f"leaf_{i}": a for i, a in enumerate(stored)})
-    tmp_m.write_text(
-        json.dumps(
-            {
-                "format": EXPORT_FORMAT,
-                "model": cfg.to_dict()["model"],
-                "dtype": dtype,
-                "num_leaves": len(stored),
-                "source_iter": meta.get("iter_num"),
-                "source_metrics": meta.get("metrics", {}),
-            },
-            indent=2,
-            default=str,
-        )
+    # atomic npz+json pair via the checkpoint writer (same tmp/replace dance)
+    return _write_files(
+        dest,
+        f"{name}.export",
+        stored,
+        {
+            "format": EXPORT_FORMAT,
+            "model": cfg.to_dict()["model"],
+            "dtype": dtype,
+            "num_leaves": len(stored),
+            "source_iter": meta.get("iter_num"),
+            "source_metrics": meta.get("metrics", {}),
+        },
     )
-    tmp_a.replace(arrays_path)
-    tmp_m.replace(meta_path)
-    return arrays_path
 
 
 def load_export(dest: str | Path, name: str) -> tuple[Any, "ViTConfig"]:  # noqa: F821

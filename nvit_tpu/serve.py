@@ -88,7 +88,7 @@ class InferenceService:
         if not isinstance(req, dict) or "images" not in req:
             raise ValueError('JSON body must be an object with an "images" field')
         try:
-            images = np.asarray(req["images"], dtype=np.float64)
+            images = np.asarray(req["images"], dtype=np.float32)
         except (TypeError, ValueError) as e:
             raise ValueError(f"images must be a numeric array: {e}") from e
         if images.ndim == 3:
