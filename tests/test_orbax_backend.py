@@ -55,3 +55,19 @@ def test_trainer_trains_and_resumes_with_orbax_backend(tmp_path):
     assert t2.iter_num == 6
     t2.train()
     assert t2.iter_num == 8
+
+
+def test_export_from_orbax_checkpoint(tmp_path):
+    """ckpt.export reads orbax-backend checkpoints too (restore_for_resume
+    dispatches on the format tag) and the export predicts identically."""
+    from nvit_tpu.ckpt.export import export_for_inference
+    from nvit_tpu.infer import Predictor
+
+    cfg = make_cfg(tmp_path)
+    state = create_train_state(cfg)
+    save_checkpoint_orbax(tmp_path, "checkpoint_best", state, cfg, {"val/loss": 0.7})
+    export_for_inference(tmp_path, "checkpoint_best", tmp_path / "deploy", dtype="float32")
+    p = Predictor.from_export(tmp_path / "deploy", "checkpoint_best", compute_dtype=None)
+    imgs = np.random.RandomState(0).randint(0, 256, (2, 3, 16, 16), dtype=np.uint8)
+    ref = Predictor(state.params, cfg.model, compute_dtype=None).predict_probs(imgs)
+    np.testing.assert_allclose(p.predict_probs(imgs), ref, atol=1e-6)
