@@ -90,7 +90,10 @@ def _normalize_section(section: str, values: dict[str, Any]) -> dict[str, Any]:
     if section == "model" and isinstance(values.get("kohonen_scheduler"), dict):
         sched = values.pop("kohonen_scheduler")
         for k, v in sched.items():
-            values[f"kohonen_scheduler_{k.lower()}"] = v
+            # setdefault: a flat NVIT_MODEL__KOHONEN_SCHEDULER_* env override
+            # already in the merged tree must WIN over the YAML's nested
+            # section (env > yaml precedence)
+            values.setdefault(f"kohonen_scheduler_{k.lower()}", v)
     if section == "model":
         values.pop("scheduler", None)
     return values

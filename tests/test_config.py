@@ -113,3 +113,61 @@ def test_secrets_yaml_loading(tmp_path, monkeypatch):
     # env var wins over the file
     monkeypatch.setenv("NVIT_WANDB_API_KEY", "env-wins")
     assert loader.get_secret("WANDB_API_KEY") == "env-wins"
+
+
+def test_every_schema_field_is_env_overridable(tmp_path, monkeypatch):
+    """Property: EVERY scalar field of every section accepts an
+    NVIT_<SECTION>__<KEY> override (catches merge/normalize typos for new
+    fields).  Nested dataclasses are exercised one level deep."""
+    import dataclasses as dc
+
+    from nvit_tpu.configs import loader
+    from nvit_tpu.configs.schema import Config
+
+    monkeypatch.chdir(tmp_path)
+
+    def bump(value):
+        if isinstance(value, bool):
+            return (not value), str(not value).lower()
+        if isinstance(value, int):
+            return value + 1, str(value + 1)
+        if isinstance(value, float):
+            return value + 0.5, str(value + 0.5)
+        if isinstance(value, str):
+            return value + "_x", value + "_x"
+        return None, None
+
+    cfg0 = Config()
+    checked = 0
+    for section in dc.fields(cfg0):
+        sec_obj = getattr(cfg0, section.name)
+        for f in dc.fields(sec_obj):
+            cur = getattr(sec_obj, f.name)
+            if dc.is_dataclass(cur):
+                for g in dc.fields(cur):
+                    want, raw = bump(getattr(cur, g.name))
+                    if raw is None:
+                        continue
+                    env = {f"NVIT_{section.name.upper()}__{f.name.upper()}__{g.name.upper()}": raw}
+                    got = getattr(
+                        getattr(getattr(loader.load_config("settings.yaml", env=env), section.name), f.name),
+                        g.name,
+                    )
+                    assert got == want, (section.name, f.name, g.name)
+                    checked += 1
+                continue
+            want, raw = bump(cur)
+            if raw is None:
+                continue
+            if section.name == "model" and f.name in ("n_embd", "n_head", "n_layer",
+                                                      "image_size", "local_patch_size",
+                                                      "global_patch_size", "kohonen_nodes"):
+                continue  # +1 breaks validate() divisibility; covered by other tests
+            if f.name in ("dataset", "dtype", "init_from", "checkpoint_backend",
+                          "bounded_softmax", "gated_mlp_kernel", "wandb_mode"):
+                continue  # enum-validated strings; covered by dedicated tests
+            env = {f"NVIT_{section.name.upper()}__{f.name.upper()}": raw}
+            got = getattr(getattr(loader.load_config("settings.yaml", env=env), section.name), f.name)
+            assert got == want, (section.name, f.name)
+            checked += 1
+    assert checked > 60  # the sweep actually covered the schema
