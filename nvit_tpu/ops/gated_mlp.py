@@ -65,165 +65,112 @@ def _silu(v32: Array) -> Array:
     return v32 * jax.nn.sigmoid(v32)
 
 
-# --------------------------------------------------------------------- fwd
-def _fwd_kernel(x_ref, wu_ref, wv_ref, o_ref):
-    x = x_ref[...]
+# ---------------------------------------------------------------- kernels
+# One body per direction, parametrized by has_bias (STATIC: resolved at trace
+# time, so the compiled Mosaic programs are identical to hand-split variants).
+# Round 3's "fp32-accumulate dx" fix had to be hand-copied into the bias
+# twins before this refactor — shared bodies make that class of divergence
+# impossible.
+def _uv_tiles(x, wu_ref, wv_ref, bias_refs):
+    """fp32 u/v tiles (x @ W [+ b]) — the recompute shared by fwd and bwd."""
     u = jax.lax.dot_general(
         x, wu_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     v = jax.lax.dot_general(
         x, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if bias_refs is not None:
+        bu_ref, bv_ref = bias_refs
+        u = u + bu_ref[...].astype(jnp.float32)
+        v = v + bv_ref[...].astype(jnp.float32)
+    return u, v
+
+
+def _fwd_kernel(*refs, has_bias: bool):
+    x_ref, wu_ref, wv_ref, *rest = refs
+    bias_refs = tuple(rest[:2]) if has_bias else None
+    o_ref = rest[-1]
+    u, v = _uv_tiles(x_ref[...], wu_ref, wv_ref, bias_refs)
     o_ref[...] = (u * _silu(v)).astype(o_ref.dtype)
 
 
-def _fwd(x2: Array, wu: Array, wv: Array) -> Array:
-    n, k = x2.shape
-    h = wu.shape[1]
-    row, col = _pick(n, _FWD_ROW, 16), _pick(h, _FWD_COL)
-    grid = (h // col, n // row)  # rows innermost: W tile fetched once per col
-    return pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((row, col), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h), x2.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n * k * h,
-            bytes_accessed=(n * k + 2 * k * h + n * h) * x2.dtype.itemsize,
-            transcendentals=n * h,
-        ),
-    )(x2, wu, wv)
-
-
-# --------------------------------------------------------- fwd, bias variant
-def _fwd_kernel_b(x_ref, wu_ref, wv_ref, bu_ref, bv_ref, o_ref):
-    x = x_ref[...]
-    u = jax.lax.dot_general(
-        x, wu_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bu_ref[...].astype(jnp.float32)
-    v = jax.lax.dot_general(
-        x, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bv_ref[...].astype(jnp.float32)
-    o_ref[...] = (u * _silu(v)).astype(o_ref.dtype)
-
-
-def _fwd_b(x2: Array, wu: Array, wv: Array, bu: Array, bv: Array) -> Array:
-    n, k = x2.shape
-    h = wu.shape[1]
-    row, col = _pick(n, _FWD_ROW, 16), _pick(h, _FWD_COL)
-    grid = (h // col, n // row)
-    spec_b = pl.BlockSpec((1, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _fwd_kernel_b,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            spec_b,
-            spec_b,
-        ],
-        out_specs=pl.BlockSpec((row, col), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h), x2.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n * k * h,
-            bytes_accessed=(n * k + 2 * k * h + n * h) * x2.dtype.itemsize,
-            transcendentals=n * h,
-        ),
-    )(x2, wu, wv, bu, bv)
-
-
-# --------------------------------------------------------------------- bwd
-def _bwd_kernel(x_ref, wu_ref, wv_ref, g_ref, du_ref, dv_ref):
-    x = x_ref[...]
-    u = jax.lax.dot_general(
-        x, wu_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    v = jax.lax.dot_general(
-        x, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+def _bwd_kernel(*refs, has_bias: bool):
+    x_ref, wu_ref, wv_ref, *rest = refs
+    bias_refs = tuple(rest[:2]) if has_bias else None
+    g_ref, du_ref, dv_ref = rest[-3:]
+    u, v = _uv_tiles(x_ref[...], wu_ref, wv_ref, bias_refs)
     g = g_ref[...].astype(jnp.float32)
     sig = jax.nn.sigmoid(v)
-    sv = v * sig
-    du_ref[...] = (g * sv).astype(du_ref.dtype)
+    du_ref[...] = (g * v * sig).astype(du_ref.dtype)
     # d silu(v)/dv = sig·(1 + v·(1 − sig))
     dv_ref[...] = (g * u * sig * (1.0 + v * (1.0 - sig))).astype(dv_ref.dtype)
 
 
-def _bwd_kernel_b(x_ref, wu_ref, wv_ref, bu_ref, bv_ref, g_ref, du_ref, dv_ref):
-    x = x_ref[...]
-    u = jax.lax.dot_general(
-        x, wu_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bu_ref[...].astype(jnp.float32)
-    v = jax.lax.dot_general(
-        x, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bv_ref[...].astype(jnp.float32)
-    g = g_ref[...].astype(jnp.float32)
-    sig = jax.nn.sigmoid(v)
-    sv = v * sig
-    du_ref[...] = (g * sv).astype(du_ref.dtype)
-    dv_ref[...] = (g * u * sig * (1.0 + v * (1.0 - sig))).astype(dv_ref.dtype)
+def _call(kernel, x2, wu, wv, bias, extra, *, row_cap, col_cap, n_out, extra_traffic):
+    """Shared pallas_call builder for fwd (extra=(), n_out=1) and bwd
+    (extra=(g,), n_out=2); bias tiles ride along when present."""
+    import functools
 
-
-def _bwd_duv_b(
-    x2: Array, wu: Array, wv: Array, bu: Array, bv: Array, g: Array
-) -> tuple[Array, Array]:
     n, k = x2.shape
     h = wu.shape[1]
-    row, col = _pick(n, _BWD_ROW, 16), _pick(h, _BWD_COL)
-    grid = (h // col, n // row)
+    row, col = _pick(n, row_cap, 16), _pick(h, col_cap)
+    grid = (h // col, n // row)  # rows innermost: W tile fetched once per col
     spec_x = pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     spec_w = pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
     spec_b = pl.BlockSpec((1, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((row, col), lambda j, i: (i, j), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _bwd_kernel_b,
+    in_specs = [spec_x, spec_w, spec_w]
+    args = [x2, wu, wv]
+    if bias is not None:
+        in_specs += [spec_b, spec_b]
+        args += list(bias)
+    in_specs += [spec_o] * len(extra)
+    args += list(extra)
+    out_shape = [jax.ShapeDtypeStruct((n, h), x2.dtype)] * n_out
+    out = pl.pallas_call(
+        functools.partial(kernel, has_bias=bias is not None),
         grid=grid,
-        in_specs=[spec_x, spec_w, spec_w, spec_b, spec_b, spec_o],
-        out_specs=[spec_o, spec_o],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, h), x2.dtype),
-            jax.ShapeDtypeStruct((n, h), x2.dtype),
-        ],
+        in_specs=in_specs,
+        out_specs=[spec_o] * n_out if n_out > 1 else spec_o,
+        out_shape=out_shape if n_out > 1 else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=4 * n * k * h,
-            bytes_accessed=(n * k + 2 * k * h + 3 * n * h) * x2.dtype.itemsize,
+            bytes_accessed=(n * k + 2 * k * h + extra_traffic * n * h) * x2.dtype.itemsize,
             transcendentals=n * h,
         ),
-    )(x2, wu, wv, bu, bv, g)
+    )(*args)
+    return out
 
 
-def _bwd_duv(x2: Array, wu: Array, wv: Array, g: Array) -> tuple[Array, Array]:
-    n, k = x2.shape
-    h = wu.shape[1]
-    row, col = _pick(n, _BWD_ROW, 16), _pick(h, _BWD_COL)
-    grid = (h // col, n // row)
-    spec_x = pl.BlockSpec((row, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
-    spec_w = pl.BlockSpec((k, col), lambda j, i: (0, j), memory_space=pltpu.VMEM)
-    spec_o = pl.BlockSpec((row, col), lambda j, i: (i, j), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
-        in_specs=[spec_x, spec_w, spec_w, spec_o],
-        out_specs=[spec_o, spec_o],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, h), x2.dtype),
-            jax.ShapeDtypeStruct((n, h), x2.dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n * k * h,
-            bytes_accessed=(n * k + 2 * k * h + 3 * n * h) * x2.dtype.itemsize,
-            transcendentals=n * h,
-        ),
-    )(x2, wu, wv, g)
+def _fwd(x2: Array, wu: Array, wv: Array, bias=None) -> Array:
+    return _call(_fwd_kernel, x2, wu, wv, bias, (), row_cap=_FWD_ROW,
+                 col_cap=_FWD_COL, n_out=1, extra_traffic=1)
+
+
+def _bwd_duv(x2: Array, wu: Array, wv: Array, g: Array, bias=None) -> tuple[Array, Array]:
+    return _call(_bwd_kernel, x2, wu, wv, bias, (g,), row_cap=_BWD_ROW,
+                 col_cap=_BWD_COL, n_out=2, extra_traffic=3)
 
 
 # ------------------------------------------------------------------ wrapper
+def _dw_dx(x2, wu, wv, du, dv):
+    """dWu/dWv/dx from the duv tiles — shared by both VJPs.  fp32 accumulate
+    both dx matmuls AND their sum (matches the XLA path's fp32-accumulated
+    single matmul; ADVICE r2 #1)."""
+    dwu = jax.lax.dot_general(
+        x2, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(wu.dtype)
+    dwv = jax.lax.dot_general(
+        x2, dv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(wv.dtype)
+    dx = jax.lax.dot_general(
+        du, wu, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        dv, wv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dx.astype(x2.dtype), dwu, dwv
+
+
 @jax.custom_vjp
 def _gated_core(x2: Array, wu: Array, wv: Array) -> Array:
     return _fwd(x2, wu, wv)
@@ -236,20 +183,7 @@ def _core_fwd(x2, wu, wv):
 def _core_bwd(saved, g):
     x2, wu, wv = saved
     du, dv = _bwd_duv(x2, wu, wv, g.astype(x2.dtype))
-    dwu = jax.lax.dot_general(
-        x2, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(wu.dtype)
-    dwv = jax.lax.dot_general(
-        x2, dv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(wv.dtype)
-    # fp32 accumulate both dx matmuls AND their sum (matches the XLA path's
-    # fp32-accumulated single matmul; ADVICE r2 #1)
-    dx = jax.lax.dot_general(
-        du, wu, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        dv, wv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    return dx.astype(x2.dtype), dwu, dwv
+    return _dw_dx(x2, wu, wv, du, dv)
 
 
 _gated_core.defvjp(_core_fwd, _core_bwd)
@@ -257,31 +191,21 @@ _gated_core.defvjp(_core_fwd, _core_bwd)
 
 @jax.custom_vjp
 def _gated_core_b(x2: Array, wu: Array, wv: Array, bu: Array, bv: Array) -> Array:
-    return _fwd_b(x2, wu, wv, bu, bv)
+    return _fwd(x2, wu, wv, (bu, bv))
 
 
 def _core_fwd_b(x2, wu, wv, bu, bv):
-    return _fwd_b(x2, wu, wv, bu, bv), (x2, wu, wv, bu, bv)
+    return _fwd(x2, wu, wv, (bu, bv)), (x2, wu, wv, bu, bv)
 
 
 def _core_bwd_b(saved, g):
     x2, wu, wv, bu, bv = saved
-    du, dv = _bwd_duv_b(x2, wu, wv, bu, bv, g.astype(x2.dtype))
-    dwu = jax.lax.dot_general(
-        x2, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(wu.dtype)
-    dwv = jax.lax.dot_general(
-        x2, dv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(wv.dtype)
-    dx = jax.lax.dot_general(
-        du, wu, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        dv, wv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    du, dv = _bwd_duv(x2, wu, wv, g.astype(x2.dtype), (bu, bv))
+    dx, dwu, dwv = _dw_dx(x2, wu, wv, du, dv)
     # db = column-sum of the half gradients (u = x@Wu + bu), fp32 accumulated
     dbu = jnp.sum(du.astype(jnp.float32), axis=0, keepdims=True).astype(bu.dtype)
     dbv = jnp.sum(dv.astype(jnp.float32), axis=0, keepdims=True).astype(bv.dtype)
-    return dx.astype(x2.dtype), dwu, dwv, dbu, dbv
+    return dx, dwu, dwv, dbu, dbv
 
 
 _gated_core_b.defvjp(_core_fwd_b, _core_bwd_b)
@@ -305,7 +229,10 @@ def _tileable(n: int, k: int, h: int) -> bool:
     )
 
 
-_warned_fallback = False
+# warn once PER SHAPE: a single global flag would let e.g. the hot MLP shape
+# fall back silently after a small eval-path shape already warned — exactly
+# the silent-fallback failure mode the warning exists to catch
+_warned_shapes: set[tuple[int, int, int]] = set()
 
 
 def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = True) -> Array:
@@ -328,9 +255,8 @@ def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = 
         n *= d_
     if not use_kernel or not _tileable(n, k, h) or not _on_tpu():
         if use_kernel and _on_tpu() and not _tileable(n, k, h):
-            global _warned_fallback
-            if not _warned_fallback:
-                _warned_fallback = True
+            if (n, k, h) not in _warned_shapes:
+                _warned_shapes.add((n, k, h))
                 import logging
 
                 logging.getLogger("nvit_tpu").warning(

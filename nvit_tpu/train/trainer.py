@@ -149,6 +149,7 @@ class Trainer:
         self.best_val_loss: float | None = None
         self.early_stopping_counter = 0
         self._eval_count = 0
+        self._abnormal_exit = False  # gates the final COLLECTIVE save (see cleanup)
         self.last_metrics: dict[str, float] = {}
 
         init_from = cfg.training.init_from
@@ -179,6 +180,10 @@ class Trainer:
             if tmeta.get("best_val_loss") is not None:
                 self.best_val_loss = float(tmeta["best_val_loss"])
             self.early_stopping_counter = int(tmeta.get("early_stopping_counter", 0))
+            # the full_eval_interval cadence phase must survive relaunches too:
+            # with max_iters_per_launch < full_eval_interval·eval_interval a
+            # reset counter would mean the full val pass NEVER fires
+            self._eval_count = int(tmeta.get("eval_count", 0))
             self.logger.info(
                 "Resumed from iteration %d (best_val_loss=%s, patience=%d)",
                 self.iter_num, self.best_val_loss, self.early_stopping_counter,
@@ -368,6 +373,10 @@ class Trainer:
             if pbar is not None:
                 pbar.close()
         except Exception as e:
+            # mark abnormal BEFORE cleanup: under multi-host orbax a final
+            # collective save from one crashed rank would hang at the barrier
+            # while the peers are still training (see cleanup())
+            self._abnormal_exit = True
             self._handle_error(e)
             raise
         finally:
@@ -511,6 +520,7 @@ class Trainer:
         return {
             "best_val_loss": self.best_val_loss,
             "early_stopping_counter": self.early_stopping_counter,
+            "eval_count": self._eval_count,
         }
 
     def _save_one(self, name: str, metrics: dict[str, float] | None) -> None:
@@ -604,6 +614,11 @@ class Trainer:
 
         def handler(signum, frame):
             self.logger.info("Received signal %s. Performing cleanup...", signum)
+            # a signal is delivered per-process: under multi-host we cannot
+            # know the peers got it too, so treat it as an abnormal exit and
+            # skip the collective save rather than risk hanging the barrier
+            if jax.process_count() > 1:
+                self._abnormal_exit = True
             self.cleanup()
             sys.exit(0)
 
@@ -617,9 +632,22 @@ class Trainer:
         """Final checkpoint + sink teardown (≙ train.py:153-177).
 
         Saves only checkpoint_latest — checkpoint_best belongs to evaluate()
-        (the weights here may have trained past the eval that earned 'best')."""
+        (the weights here may have trained past the eval that earned 'best').
+
+        Under multi-host orbax, saves are COLLECTIVE — entering one from a
+        path only THIS rank is on (an exception, a single-rank signal) would
+        block at the commit barrier until the distributed timeout, masking
+        the original error.  Those paths skip the final save and rely on the
+        last periodic checkpoint; normal completion (all ranks reach the
+        same point) still saves."""
         try:
-            if self.iter_num > 0:
+            skip_collective = self._save_is_collective() and self._abnormal_exit
+            if skip_collective:
+                self.logger.warning(
+                    "Skipping final collective checkpoint from an abnormal-exit "
+                    "path (multi-host orbax); resume from the last periodic save"
+                )
+            elif self.iter_num > 0:
                 self.save(self.last_metrics)
             self._join_pending_saves()  # don't exit while a write is in flight
             if self.metrics_writer is not None:

@@ -76,7 +76,11 @@ def main() -> None:
     if nproc > 1:
         # absorb inter-rank drift (CPU-contended CI: the two workers share
         # cores and can finish minutes apart) at a long-timeout collective
-        # barrier so the short SHUTDOWN barrier is reached in lockstep
+        # exit barrier so both ranks tear down together; NOTE it uses the
+        # coordination service's DEFAULT barrier timeout (sync_global_devices
+        # takes none) — if ranks drift past that on a loaded host, the fast
+        # rank raises a barrier timeout and the test fails loudly rather
+        # than hanging
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("mp_worker_exit")

@@ -42,16 +42,29 @@ def _run_workers(nproc: int, outdir: Path, devices_per_proc: int, mode: str = "t
             )
             for r in range(nproc)
         ]
+        # poll rather than sequentially communicate(): if one rank dies early
+        # (e.g. the coordinator lost the port-bind race), its peer hangs in
+        # rendezvous — kill the peers within seconds instead of waiting out
+        # the full timeout before the retry can fire
+        import time as _time
+
+        deadline = _time.monotonic() + 900
+        while _time.monotonic() < deadline:
+            codes = [p.poll() for p in procs]
+            if all(c is not None for c in codes):
+                break
+            if any(c is not None and c != 0 for c in codes):
+                for p, c in zip(procs, codes):
+                    if c is None:
+                        p.kill()
+                break
+            _time.sleep(0.2)
+        else:  # global deadline: a hung rendezvous leaves peers spinning
+            for p in procs:
+                p.kill()
         outs, rcs = [], []
         for p in procs:
-            try:
-                out, _ = p.communicate(timeout=900)
-            except subprocess.TimeoutExpired:
-                # kill BOTH workers by handle (a hung rendezvous leaves the
-                # peer spinning forever) and surface what we got
-                for q in procs:
-                    q.kill()
-                out, _ = p.communicate()
+            out, _ = p.communicate(timeout=60)
             outs.append(out)
             rcs.append(p.returncode)
         if all(rc == 0 for rc in rcs):

@@ -331,3 +331,52 @@ def test_init_from_invalid_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="init_from"):
         Trainer(config=cfg)
+
+
+class TestRelaunchEvalCadence:
+    def test_eval_count_persists_across_relaunch(self, tmp_path):
+        """The full_eval_interval cadence phase survives relaunches: with
+        max_iters_per_launch shorter than the full-eval period, a reset
+        counter would mean the un-capped val pass NEVER fires."""
+        cfg = make_cfg(tmp_path)
+        t1 = Trainer(config=cfg)  # eval_interval=3, max_iters=6 → 2 evals
+        t1.train()
+        assert t1._eval_count == 2
+        meta = json.loads((tmp_path / "out" / "checkpoint_latest.json").read_text())
+        assert meta["trainer"]["eval_count"] == 2
+        cfg2 = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, init_from="resume", max_iters=12),
+            data=dataclasses.replace(cfg.data, checkpoint_dir=str(tmp_path / "out")),
+        )
+        t2 = Trainer(config=cfg2)
+        assert t2._eval_count == 2  # continues, not reset
+        t2.train()
+        assert t2._eval_count == 4
+
+
+class TestAbnormalExitCollectiveSave:
+    def test_cleanup_skips_collective_save_after_abnormal_exit(self, tmp_path, monkeypatch):
+        """Under multi-host orbax a final save from a crashed/signaled rank
+        would hang at the collective barrier — cleanup must skip it."""
+        import jax
+
+        cfg = make_cfg(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, checkpoint_backend="orbax")
+        )
+        t = Trainer(config=cfg)
+        saves = []
+        monkeypatch.setattr(t, "save", lambda *a, **kw: saves.append(a))
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        t.iter_num = 5
+        t._abnormal_exit = True
+        t.cleanup()
+        assert saves == []  # skipped: collective + abnormal
+        # normal completion still saves
+        t2 = Trainer(config=make_cfg(tmp_path))
+        saves2 = []
+        monkeypatch.setattr(t2, "save", lambda *a, **kw: saves2.append(a))
+        t2.iter_num = 5
+        t2.cleanup()
+        assert len(saves2) == 1
