@@ -27,6 +27,8 @@ in tests/test_gated_mlp.py (interpret mode) and scripts/tpu_flash_parity.py
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -109,8 +111,6 @@ def _bwd_kernel(*refs, has_bias: bool):
 def _call(kernel, x2, wu, wv, bias, extra, *, row_cap, col_cap, n_out, extra_traffic):
     """Shared pallas_call builder for fwd (extra=(), n_out=1) and bwd
     (extra=(g,), n_out=2); bias tiles ride along when present."""
-    import functools
-
     n, k = x2.shape
     h = wu.shape[1]
     row, col = _pick(n, row_cap, 16), _pick(h, col_cap)
