@@ -82,14 +82,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_actual: 
     q_ref: [BLOCK_Q, D]; k_ref/v_ref: [T_pad, D]; o_ref: [BLOCK_Q, D];
     lse_ref: [BLOCK_Q, 1] (fp32).
     """
-    q = q_ref[0]
+    # softmax scale folded into the [BQ, D] q operand instead of a full VPU
+    # pass over the [BQ, T] score tile (12x fewer elements at D=64; exact
+    # when scale is a power of two, e.g. sqrt(64)=8 for this model family).
+    # Measured NEUTRAL at step level on v5e (the multiply pipelines behind
+    # the exp chain) — kept because it strictly removes VPU ops per element
+    # and the VPU:MXU ratio differs on other TPU generations.
+    q = q_ref[0] * scale
     k = k_ref[0]
     t_pad = k.shape[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, T_pad]
-    s = s * scale
+    )  # [BQ, T_pad], already scaled
     if t_actual < t_pad:  # mask padded key columns
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
@@ -144,12 +149,11 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, t_actual: int):
 # ---------------------------------------------------------------------- bwd
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, t_actual):
     """dq tile: dq = (P ∘ (dO·Vᵀ − Δ)) · K · scale, P recomputed from lse."""
-    q = q_ref[0]
+    q = q_ref[0] * scale  # scale folded into the [BQ, D] operand (see _fwd_kernel)
     k = k_ref[0]
     t_pad = k.shape[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
     if t_actual < t_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
@@ -167,12 +171,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, t_actual):
     """dk/dv tile over K: Pᵀ recomputed; padded QUERY columns zeroed."""
-    k = k_ref[0]  # [BK, D]
+    k = k_ref[0] * scale  # [BK, D]; scale folded into the operand (see _fwd_kernel)
     q = q_ref[0]  # [T_pad, D]
     t_pad = q.shape[0]
 
     st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    st = st * scale  # [BK, T_pad] = S^T
+    # st [BK, T_pad] = S^T, already scaled
     pt = jnp.exp(st - lse_ref[0].reshape(1, t_pad))
     if t_actual < t_pad:  # zero padded query columns
         col = jax.lax.broadcasted_iota(jnp.int32, pt.shape, dimension=1)
@@ -203,11 +207,16 @@ _FUSED_BWD_MAX_T = 1024
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                       dq_ref, dk_ref, dv_ref, *, scale, t_actual):
-    q = q_ref[0]
+    # scale folded into [T, D] operand copies instead of three full passes
+    # over the [Tq, Tk] score tile / dq/dk outputs (see _fwd_kernel): qs
+    # carries the scale through BOTH the score matmul (s = qs·kᵀ) and the
+    # dk matmul (dk = dsᵀ·qs = scale·dsᵀ·q); ks likewise through dq
+    qs = q_ref[0] * scale
     k = k_ref[0]
+    ks = k * scale
     v = v_ref[0]
     do = do_ref[0]
-    t_pad = q.shape[0]
+    t_pad = qs.shape[0]
 
     # Δ_i = rowsum(dO ∘ O) computed in VMEM — folding it here saves the
     # separate XLA pass over g and o (one [T, D] read per layer per step)
@@ -215,8 +224,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         do.astype(jnp.float32) * o_ref[0].astype(jnp.float32), axis=-1, keepdims=True
     )
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if t_actual < t_pad:  # mask padded KEY columns (as in fwd)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
@@ -229,17 +237,15 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     ds = p * (dp - delta)  # [Tq, Tk] fp32
 
     pb = p.astype(do.dtype)
-    dsb = ds.astype(q.dtype)
+    dsb = ds.astype(qs.dtype)
     dv_ref[0] = jax.lax.dot_general(
         pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
-    dk_ref[0] = (
-        jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        * scale
+    dk_ref[0] = jax.lax.dot_general(
+        dsb, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dk_ref.dtype)
-    dq_ref[0] = (
-        jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        * scale
+    dq_ref[0] = jax.lax.dot_general(
+        dsb, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
 
 
@@ -393,15 +399,17 @@ def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_a
     s_vec = s_ref[0]  # [1, D] fp32
     t_pad = k.shape[0]
 
-    qhat, _, _ = _normed_scaled(q, s_vec)
+    # softmax scale folded into the q̂ operand ([T, D], fp32, pre-cast)
+    # instead of a full VPU pass over the [Tq, Tk] score tile; the bounded
+    # stabilizer below keeps using the RAW s_vec, so the bound is unchanged
+    qhat, _, _ = _normed_scaled(q, s_vec * scale)
     khat, _, _ = _normed_scaled(k, s_vec)
     qhat = qhat.astype(v_ref.dtype)
     khat = khat.astype(v_ref.dtype)
 
     s = jax.lax.dot_general(
         qhat, khat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
+    )  # already scaled
     if t_actual < t_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
@@ -516,11 +524,15 @@ def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, o_ref,
 
     qhat32, qn, qnorm = _normed_scaled(q, s_vec)
     khat32, kn, knorm = _normed_scaled(k, s_vec)
-    qhat = qhat32.astype(v.dtype)
+    # scale folded into [T, D] operand copies instead of three passes over
+    # the [Tq, Tk] tiles (see _fwd_kernel): qhat_s carries it through the
+    # score matmul AND the dk̂ matmul; khat_s through the dq̂ matmul — so
+    # dqhat/dkhat below already include the softmax scale
+    qhat_s = (qhat32 * scale).astype(v.dtype)
     khat = khat32.astype(v.dtype)
+    khat_s = (khat32 * scale).astype(v.dtype)
 
-    s = jax.lax.dot_general(qhat, khat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
+    s = jax.lax.dot_general(qhat_s, khat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if t_actual < t_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
@@ -537,14 +549,12 @@ def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, o_ref,
     dv_ref[0] = jax.lax.dot_general(
         pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
-    dkhat = (
-        jax.lax.dot_general(dsb, qhat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        * scale
-    )  # [Tk, D] fp32
-    dqhat = (
-        jax.lax.dot_general(dsb, khat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        * scale
-    )  # [Tq, D] fp32
+    dkhat = jax.lax.dot_general(
+        dsb, qhat_s, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Tk, D] fp32, = scale·dsᵀ·q̂
+    dqhat = jax.lax.dot_general(
+        dsb, khat_s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Tq, D] fp32, = scale·ds·k̂
 
     # sqk grad: q̂ = s ⊙ qn ⇒ ∂L/∂s = Σ_t (dq̂ ⊙ qn + dk̂ ⊙ kn)
     ds_ref[0] = jnp.sum(dqhat * qn + dkhat * kn, axis=0, keepdims=True)
