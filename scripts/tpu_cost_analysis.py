@@ -48,6 +48,8 @@ def main():
     overrides = {}
     if os.environ.get("NVIT_BENCH_LARGE", "0") == "1":  # nViT-L/16 (bench.py parity)
         overrides.update(n_layer=24, n_head=16, n_embd=1024)
+    if os.environ.get("NVIT_BENCH_KOHONEN", "0") == "1":  # n1k1 (bench.py parity)
+        overrides.update(use_kohonen=True, kohonen_nodes=512)
     cfg = flagship_config(**overrides)
     state = create_train_state(cfg)
     imgs = jnp.zeros((B, 3, 224, 224), jnp.float32)
