@@ -87,6 +87,18 @@ def main() -> None:
     imgs = jax.device_put(imgs)
     labels = jax.device_put(labels)
 
+    # XLA's own flop count for the compiled step (before the loop: donation
+    # invalidates `state` afterwards).  Shares the persistent compile cache
+    # with the jit call, so this adds no extra remote compile.
+    xla_flops = None
+    try:
+        ca = step_fn.lower(state, imgs, labels).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        xla_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:  # pragma: no cover - cost analysis is best-effort
+        pass
+
     # warmup / compile — fetch a VALUE: on tunneled backends block_until_ready
     # may return before remote execution completes, so only a host fetch is a
     # reliable sync point
@@ -123,6 +135,12 @@ def main() -> None:
                     "step_time_ms": round(dt * 1000, 2),
                     "params": n,
                     "mfu": round(images_per_sec * flops_per_image / peak, 4),
+                    # hardware utilization by XLA's ACTUAL flop count — the
+                    # 6N "mfu" above undercounts this architecture's SOM /
+                    # cross-attn / hypersphere work (BASELINE.md derivation)
+                    "hw_flops_utilization": (
+                        round(xla_flops / (dt * peak), 4) if xla_flops else None
+                    ),
                     "device": jax.devices()[0].device_kind,
                     "peak_bf16_tflops": peak / 1e12,
                 },
