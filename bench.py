@@ -92,9 +92,9 @@ def main() -> None:
     # with the jit call, so this adds no extra remote compile.
     xla_flops = None
     try:
-        ca = step_fn.lower(state, imgs, labels).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
+        from nvit_tpu.obs.profiling import xla_cost_analysis
+
+        ca = xla_cost_analysis(step_fn.lower(state, imgs, labels).compile())
         xla_flops = float(ca.get("flops", 0.0)) or None
     except Exception:  # pragma: no cover - cost analysis is best-effort
         pass

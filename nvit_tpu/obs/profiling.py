@@ -38,3 +38,16 @@ def apply_debug_flags(*, debug_nans: bool = False, disable_jit: bool = False) ->
         jax.config.update("jax_debug_nans", True)
     if disable_jit:
         jax.config.update("jax_disable_jit", True)
+
+
+def xla_cost_analysis(compiled) -> dict:
+    """Normalize ``Compiled.cost_analysis()`` across JAX versions.
+
+    Older JAX returns a one-element list of dicts, newer returns the dict
+    directly; callers (bench.py, scripts/tpu_cost_analysis.py) share this
+    shim so a future shape change is fixed in one place.
+    """
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    return ca or {}

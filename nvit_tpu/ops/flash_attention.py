@@ -171,8 +171,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, t_actual):
     """dk/dv tile over K: Pᵀ recomputed; padded QUERY columns zeroed."""
-    k = k_ref[0] * scale  # [BK, D]; scale folded into the operand (see _fwd_kernel)
-    q = q_ref[0]  # [T_pad, D]
+    # scale folded into the q operand — the SAME operand _fwd_kernel scales,
+    # so the recomputed Sᵀ products bit-match the forward's S (and p matches
+    # the saved lse) even for non-power-of-two scales
+    k = k_ref[0]  # [BK, D]
+    q = q_ref[0] * scale  # [T_pad, D]
     t_pad = q.shape[0]
 
     st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -194,8 +197,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dst = pt * (dpt - delta_ref[0].reshape(1, t_pad))
     dk = jax.lax.dot_general(
         dst.astype(q.dtype), q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    )  # q carries the scale ⇒ dk = scale·dstᵀ·q_raw already
+    dk_ref[0] = dk.astype(dk_ref.dtype)
 
 
 # Combined single-program backward (used when a whole [T, T] score tile fits
@@ -527,10 +530,14 @@ def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, o_ref,
     # scale folded into [T, D] operand copies instead of three passes over
     # the [Tq, Tk] tiles (see _fwd_kernel): qhat_s carries it through the
     # score matmul AND the dk̂ matmul; khat_s through the dq̂ matmul — so
-    # dqhat/dkhat below already include the softmax scale
-    qhat_s = (qhat32 * scale).astype(v.dtype)
+    # dqhat/dkhat below already include the softmax scale.  NOTE the
+    # multiply ORDER (s_vec·scale)·qn matches _fwd_qknorm_kernel's
+    # _normed_scaled(q, s_vec·scale) exactly, so the recomputed s (and
+    # hence p = exp(s − lse)) bit-matches the forward softmax even for
+    # non-power-of-two scales.
+    qhat_s = ((s_vec * scale) * qn).astype(v.dtype)
     khat = khat32.astype(v.dtype)
-    khat_s = (khat32 * scale).astype(v.dtype)
+    khat_s = ((s_vec * scale) * kn).astype(v.dtype)
 
     s = jax.lax.dot_general(qhat_s, khat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if t_actual < t_pad:

@@ -27,9 +27,9 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 
 
 def report(tag, compiled):
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
+    from nvit_tpu.obs.profiling import xla_cost_analysis
+
+    ca = xla_cost_analysis(compiled)
     gb = ca.get("bytes accessed", 0.0) / 1e9
     tf = ca.get("flops", 0.0) / 1e12
     tr = ca.get("transcendentals", 0.0) / 1e9

@@ -48,11 +48,12 @@ def _run_workers(nproc: int, outdir: Path, devices_per_proc: int, mode: str = "t
         # the full timeout before the retry can fire
         import time as _time
 
-        # 1800 s: a clean run takes ~125 s, but on this single-core box a
-        # co-located compile-heavy process (e.g. a TPU bench) can stretch the
-        # workers past 900 s legitimately — the deadline only exists to catch
-        # true rendezvous hangs, so err long
-        deadline = _time.monotonic() + 1800
+        # default 1800 s: a clean run takes ~125 s, but on this single-core
+        # box a co-located compile-heavy process (e.g. a TPU bench) can
+        # stretch the workers past 900 s legitimately — the deadline only
+        # exists to catch true rendezvous hangs, so err long; CI that wants
+        # fast hang detection can lower it via the env knob
+        deadline = _time.monotonic() + int(os.environ.get("NVIT_TEST_MP_DEADLINE", "1800"))
         while _time.monotonic() < deadline:
             codes = [p.poll() for p in procs]
             if all(c is not None for c in codes):
