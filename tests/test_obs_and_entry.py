@@ -120,6 +120,34 @@ class TestMemoryStats:
         assert memory_stats(log_memory=False) == {}
 
 
+class TestXlaCostAnalysis:
+    """The shim normalizes Compiled.cost_analysis() across JAX versions
+    (older: one-element list of dicts; newer: dict; defensive: empty)."""
+
+    class _Fake:
+        def __init__(self, ret):
+            self._ret = ret
+
+        def cost_analysis(self):
+            return self._ret
+
+    def test_dict_form(self):
+        from nvit_tpu.obs.profiling import xla_cost_analysis
+
+        assert xla_cost_analysis(self._Fake({"flops": 7.0})) == {"flops": 7.0}
+
+    def test_list_form(self):
+        from nvit_tpu.obs.profiling import xla_cost_analysis
+
+        assert xla_cost_analysis(self._Fake([{"flops": 7.0}])) == {"flops": 7.0}
+
+    def test_empty_forms(self):
+        from nvit_tpu.obs.profiling import xla_cost_analysis
+
+        assert xla_cost_analysis(self._Fake([])) == {}
+        assert xla_cost_analysis(self._Fake(None)) == {}
+
+
 class TestStepTimer:
     def test_mfu_math(self):
         t = StepTimer(flops_per_iter=1e12, peak_flops=1e14)
