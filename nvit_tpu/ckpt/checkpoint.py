@@ -110,7 +110,21 @@ def save_checkpoint_async(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     leaves, meta = _snapshot(state, config, metrics, trainer_state)
-    t = threading.Thread(target=_write_files, args=(out_dir, name, leaves, meta), daemon=True)
+
+    # capture write failures (disk full, permissions) on the thread object —
+    # a bare daemon thread would swallow them and the trainer would log the
+    # save as successful while the on-disk checkpoint silently goes stale;
+    # Trainer._join_pending_saves re-raises from the box
+    errbox: list[BaseException] = []
+
+    def run() -> None:
+        try:
+            _write_files(out_dir, name, leaves, meta)
+        except BaseException as e:  # noqa: BLE001 - surfaced at join
+            errbox.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.error_box = errbox  # type: ignore[attr-defined]
     t.start()
     return t
 
@@ -153,12 +167,17 @@ def restore_for_resume(out_dir: str | Path, name: str) -> tuple[TrainState, Conf
 
     meta = load_checkpoint_meta(out_dir, name)
     cfg = merge_dataclass(_C(), meta["config"])
-    template = create_train_state(cfg)
     if meta.get("format", "").startswith("nvit_tpu.ckpt.orbax"):
         from nvit_tpu.ckpt.orbax_backend import load_checkpoint_orbax
 
-        state, meta = load_checkpoint_orbax(out_dir, name, template)
+        # orbax restore consumes the template's concrete arrays/shardings
+        state, meta = load_checkpoint_orbax(out_dir, name, create_train_state(cfg))
     else:
+        # npz only needs shapes/dtypes/treedef: an abstract template skips the
+        # throwaway on-device init + optimizer-zeros allocation (on the
+        # remote-compile TPU backend a real init is a compiled program costing
+        # minutes per resume) — same technique as export.load_export
+        template = jax.eval_shape(lambda: create_train_state(cfg))
         state, meta = load_checkpoint(out_dir, name, template)
     return state, cfg, meta
 

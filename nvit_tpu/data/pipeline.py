@@ -136,6 +136,7 @@ def device_prefetch(
     q: collections.deque = collections.deque()
     lock = threading.Condition()
     done = object()
+    state = {"stop": False}  # set by the consumer's finally (early abandon)
 
     def put(batch: Batch):
         imgs, labels = batch
@@ -155,8 +156,11 @@ def device_prefetch(
             for batch in it:
                 dev = put(batch)
                 with lock:
-                    while len(q) >= size:
+                    while len(q) >= size and not state["stop"]:
                         lock.wait()
+                    if state["stop"]:
+                        return  # consumer abandoned the iterator (e.g. a
+                        # capped eval pass) — exit instead of waiting forever
                     q.append(dev)
                     lock.notify_all()
         except BaseException as e:  # re-raised in the consumer — a corrupt
@@ -169,19 +173,38 @@ def device_prefetch(
                 q.append(done)
                 lock.notify_all()
 
-    t = threading.Thread(target=producer, daemon=True)
+    t = threading.Thread(target=producer, daemon=True, name="nvit-prefetch")
     t.start()
-    while True:
+    try:
+        while True:
+            with lock:
+                while not q:
+                    lock.wait()
+                item = q.popleft()
+                lock.notify_all()
+            if item is done:
+                return
+            if isinstance(item, _ProducerError):
+                raise item.exc
+            yield item
+    finally:
+        # runs on normal exhaustion AND on early abandonment (the trainer's
+        # capped eval passes break out of this generator every eval): release
+        # the producer thread and the device buffers it has pinned, and close
+        # the source iterator so its resources (e.g. iterate_folder's thread
+        # pool) are freed — otherwise each abandoned iterator leaks a blocked
+        # thread plus `size`+1 device-resident batches
         with lock:
-            while not q:
-                lock.wait()
-            item = q.popleft()
+            state["stop"] = True
+            q.clear()
             lock.notify_all()
-        if item is done:
-            return
-        if isinstance(item, _ProducerError):
-            raise item.exc
-        yield item
+        t.join(timeout=5)
+        close = getattr(it, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:  # a still-running producer mid-next(it) —
+                pass  # thread is daemon; the stop flag ends it at the next batch
 
 
 class _ProducerError:

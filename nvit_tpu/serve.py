@@ -95,7 +95,12 @@ class InferenceService:
             images = images[None]
         if images.ndim != 4 or images.shape[1:] != self._shape:
             raise ValueError(f"images must be [B,{','.join(map(str, self._shape))}], got {images.shape}")
-        if images.size == 0 or images.min() < 0 or images.max() > 255:
+        # isfinite first: json.loads accepts the NaN/Infinity literals, and
+        # NaN passes both range comparisons (nan<0 and nan>255 are False) —
+        # then np.rint(nan).astype(uint8) is undefined-behavior garbage
+        if images.size == 0 or not np.isfinite(images).all():
+            raise ValueError("pixel values must be finite numbers in 0..255")
+        if images.min() < 0 or images.max() > 255:
             raise ValueError("pixel values must be 0..255")
         top_k = req.get("top_k", 1)
         if not isinstance(top_k, int) or isinstance(top_k, bool) or not (

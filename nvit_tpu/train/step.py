@@ -62,15 +62,25 @@ def make_loss_fn(cfg: Config):
     return loss_fn
 
 
-def make_train_step(cfg: Config) -> Callable[[TrainState, Array, Array], tuple[TrainState, Metrics]]:
+def make_train_step(
+    cfg: Config, log_norms: bool | None = None
+) -> Callable[[TrainState, Array, Array], tuple[TrainState, Metrics]]:
     """Build the (jittable) train step: (state, images, labels) → (state', metrics).
 
     ``images``: [B, C, H, W] fp32 (already normalized/augmented);
     ``labels``: [B] int32.  With gradient_accumulation_steps=k, B must be
     divisible by k and the step scans over k micro-batches of B/k.
+
+    ``log_norms`` overrides whether grad/param norms are computed in-step
+    (default: ``cfg.system.log_gpu_stats``).  The norms cost ~1 GB of fp32
+    tree reductions on an HBM-bound step; the Trainer compiles TWO variants
+    and runs the norms one only on log-interval iterations, so the default
+    config keeps the per-component norm metrics without paying for them on
+    every hot step (≙ reference: norms are eval-time, train.py:749-751).
     """
     mcfg = cfg.model
     accum = max(1, cfg.training.gradient_accumulation_steps)
+    want_norms = cfg.system.log_gpu_stats if log_norms is None else log_norms
     loss_fn = make_loss_fn(cfg)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -133,10 +143,7 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Array, Array], tuple[T
 
         metrics: Metrics = dict(terms)
         metrics["learning_rate"] = cosine_lr(cfg.optimizer, state.step)
-        if cfg.system.log_gpu_stats:
-            # ≙ reference: grad/param norms are EVAL-time metrics
-            # (train.py:749-751); computing them per hot step costs ~1 GB of
-            # fp32 reductions — gate on the stats knob
+        if want_norms:
             metrics["grad_norm"] = global_norm(grads)
             metrics["param_norm"] = global_norm(params)
             # per-group gradient norms (≙ wandb.watch gradient monitoring,

@@ -146,6 +146,7 @@ class Trainer:
         # --- model/optimizer init (≙ initialize_model, train.py:395-459) ----
         self.iter_num = 0
         self.finished = False
+        self._time_up = False
         self.best_val_loss: float | None = None
         self.early_stopping_counter = 0
         self._eval_count = 0
@@ -196,12 +197,26 @@ class Trainer:
                 params=shard_params(self.state.params, self.mesh, cfg.model.use_nvit)
             )
 
-        # jitted steps (≙ torch.compile; jit=False is the debug escape hatch)
-        self._train_step = make_train_step(cfg)
+        # jitted steps (≙ torch.compile; jit=False is the debug escape hatch).
+        # Two train-step programs when log_gpu_stats: the hot one omits the
+        # in-step grad/param norm reductions (~1 GB of fp32 tree reads on an
+        # HBM-bound step); the norms variant runs only on iterations whose
+        # metrics are actually logged, so the default config keeps the
+        # per-component norms without paying for them every step
+        step_plain = make_train_step(cfg, log_norms=False)
+        step_norms = (
+            make_train_step(cfg, log_norms=True) if cfg.system.log_gpu_stats else step_plain
+        )
         self._eval_step = make_eval_step(cfg)
         if cfg.system.jit:
-            self._train_step = jax.jit(self._train_step, donate_argnums=0)
+            jit_plain = jax.jit(step_plain, donate_argnums=0)
+            jit_norms = (
+                jax.jit(step_norms, donate_argnums=0) if step_norms is not step_plain else jit_plain
+            )
+            self._train_step, self._train_step_norms = jit_plain, jit_norms
             self._eval_step = jax.jit(self._eval_step)
+        else:
+            self._train_step, self._train_step_norms = step_plain, step_norms
 
         self.metrics_writer: MetricsWriter | None = None
         self._pending_saves: list = []
@@ -256,6 +271,50 @@ class Trainer:
         )
         return device_prefetch(it, size=self.cfg.data.prefetch, sharding=self.batch_sharding)
 
+    def _stat_params(self) -> dict:
+        """Host copy of ONLY the scale leaves ``hparams_str`` reads (sz +
+        per-block sqk/alphas/suv — a few KB), NOT the full params tree: a
+        full ``device_get`` per stat line is ~0.35-1.6 GB of dead transfer."""
+        if not self.cfg.model.use_nvit:
+            return {}
+        p = self.state.params
+        sub = {
+            "sz": p["sz"],
+            "blocks": [
+                {k: bp[k] for k in ("sqk", "attn_alpha", "mlp_alpha", "suv")}
+                for bp in p["blocks"]
+            ],
+        }
+        return jax.device_get(sub)
+
+    def _time_limit_reached(self, tlaunch: float) -> bool:
+        """Launch-time-limit predicate, safe under multi-host SPMD.
+
+        The wall clock is PER-HOST state: if every host consulted its own
+        ``time.time()``, clocks milliseconds apart would make hosts exit the
+        lockstep train loop at different iterations — the surviving hosts'
+        next gradient all-reduce (or the leavers' collective orbax save)
+        would then hang forever.  Multi-host runs therefore take host 0's
+        verdict, refreshed via a broadcast at a LOCKSTEP program point
+        (every log_interval-th iteration — iteration counts are identical
+        on all hosts, so every host executes the same collective sequence).
+        Single-host keeps the reference's exact per-iteration check
+        (≙ train.py:857-862)."""
+        limit = self.cfg.training.time_limit_seconds
+        if self._time_up:
+            return True
+        if jax.process_count() <= 1:
+            self._time_up = time.time() - tlaunch >= limit
+        elif self.iter_num % self.cfg.training.log_interval == 0:
+            from jax.experimental import multihost_utils
+
+            self._time_up = bool(
+                multihost_utils.broadcast_one_to_all(
+                    np.int32(time.time() - tlaunch >= limit)
+                )
+            )
+        return self._time_up
+
     def _preprocess(self, imgs_u8, *, train: bool, step: int | None = None):
         step = self.iter_num if step is None else step
         key = jax.random.fold_in(self.state.rng, step) if train else None
@@ -270,6 +329,7 @@ class Trainer:
         cfg = self.cfg
         try:
             tlaunch = time.time()
+            self._time_up = False  # see _time_limit_reached
             self._load_data()
             if self.is_master:  # metric sinks are master-only (≙ train.py:817)
                 self.metrics_writer = MetricsWriter(
@@ -292,7 +352,7 @@ class Trainer:
             if self.iter_num == 0 and cfg.training.init_from == "scratch" and self.is_master:
                 write_stat_line(
                     self.out_dir, iter_num=0, lr=0.0, train_loss=0.0, val_loss=0.0,
-                    params=jax.device_get(self.state.params), cfg=cfg, append=False,
+                    params=self._stat_params(), cfg=cfg, append=False,
                 )
 
             timer = StepTimer(self._flops_per_iter, _chip_peak_flops())
@@ -302,14 +362,14 @@ class Trainer:
             while (
                 local_iter < cfg.training.max_iters_per_launch
                 and self.iter_num < cfg.training.max_iters
-                and time.time() - tlaunch < cfg.training.time_limit_seconds
+                and not self._time_limit_reached(tlaunch)
                 and not self.finished
             ):
                 for imgs_u8, labels in self._epoch_iter(self.trainset, epoch=epoch, shuffle=True):
                     if (
                         local_iter >= cfg.training.max_iters_per_launch
                         or self.iter_num >= cfg.training.max_iters
-                        or time.time() - tlaunch >= cfg.training.time_limit_seconds
+                        or self._time_limit_reached(tlaunch)
                         or self.finished
                     ):
                         break
@@ -323,7 +383,7 @@ class Trainer:
                                 lr=float(cosine_lr(cfg.optimizer, self.iter_num)),
                                 train_loss=eval_metrics["train/loss"],
                                 val_loss=eval_metrics["val/loss"],
-                                params=jax.device_get(self.state.params),
+                                params=self._stat_params(),
                                 cfg=cfg,
                             )
 
@@ -332,11 +392,22 @@ class Trainer:
                     if cfg.system.profile_steps > 0 and local_iter == 1:
                         jax.profiler.start_trace(str(self.out_dir / "profile"))
                     images = self._preprocess(imgs_u8, train=True)
-                    self.state, step_metrics = self._train_step(self.state, images, labels)
+                    # norms variant only on iterations whose metrics get
+                    # logged (this step becomes iter_num+1, the value the
+                    # log-interval check below sees)
+                    step_fn = (
+                        self._train_step_norms
+                        if (self.iter_num + 1) % cfg.training.log_interval == 0
+                        else self._train_step
+                    )
+                    self.state, step_metrics = step_fn(self.state, images, labels)
                     self.iter_num += 1
                     local_iter += 1
                     if cfg.system.profile_steps > 0 and local_iter == 1 + cfg.system.profile_steps:
-                        jax.block_until_ready(step_metrics["total_loss"])
+                        # host VALUE fetch, not block_until_ready: on the
+                        # tunneled backend only a fetch is a true sync point
+                        # (CLAUDE.md) — else the trace stops mid-execution
+                        float(step_metrics["total_loss"])
                         jax.profiler.stop_trace()
 
                     if self.iter_num % cfg.training.log_interval == 0:
@@ -434,12 +505,22 @@ class Trainer:
             collected.append({src: m[src] for src, _ in keep})
         # ONE host transfer for the whole pass (device scalars are tiny; the
         # per-batch float() round-trips were the eval bottleneck)
+        if not collected:
+            # surface a config error instead of a KeyError at the caller: the
+            # per-host val shard can be smaller than the per-host batch (SPMD
+            # forces drop_last), yielding an empty pass
+            raise ValueError(
+                "validation produced zero batches: val set has "
+                f"{len(self.valset)} examples for per-host batch "
+                f"{self.cfg.training.batch_size // jax.process_count()} "
+                f"across {jax.process_count()} host(s) (SPMD drops ragged "
+                "batches) — lower batch_size or enlarge the val split"
+            )
         collected = jax.device_get(collected)
-        n_batches = max(len(collected), 1)
+        n_batches = len(collected)
         metrics = {
             f"val/{dst}": float(sum(b[src] for b in collected)) / n_batches
             for src, dst in keep
-            if collected
         }
         return metrics
 
@@ -508,10 +589,17 @@ class Trainer:
     # ------------------------------------------------------------ checkpoint
     def _join_pending_saves(self) -> None:
         """Serialize checkpoint writes: a new save to a name must not race the
-        previous write of the same file."""
-        for t in getattr(self, "_pending_saves", []):
+        previous write of the same file.  Re-raises background write failures
+        (disk full, permissions) — otherwise the run would keep logging
+        successful saves while the on-disk checkpoint silently goes stale and
+        a later relaunch resumes from hours-old state.  (The cleanup path
+        catches and logs via its never-raise-during-teardown guard.)"""
+        pending, self._pending_saves = getattr(self, "_pending_saves", []), []
+        for t in pending:
             t.join()
-        self._pending_saves = []
+            box = getattr(t, "error_box", None)
+            if box:
+                raise RuntimeError(f"async checkpoint write failed: {box[0]}") from box[0]
 
     def _trainer_meta(self) -> dict[str, Any]:
         """Host-side protocol state persisted in the checkpoint sidecar so
@@ -587,7 +675,13 @@ class Trainer:
                 metadata={"iter_num": self.iter_num, "metrics": self.last_metrics,
                           "using_nvit": self.cfg.model.use_nvit},
             )
-            artifact.add_file(str(self.out_dir / "checkpoint_best.npz"))
+            if self.cfg.data.checkpoint_backend == "orbax":
+                # orbax writes a DIRECTORY of shard files, not a single npz
+                artifact.add_dir(
+                    str(self.out_dir / "checkpoint_best.orbax"), name="checkpoint_best.orbax"
+                )
+            else:
+                artifact.add_file(str(self.out_dir / "checkpoint_best.npz"))
             artifact.add_file(str(self.out_dir / "checkpoint_best.json"))
             wandb.log_artifact(artifact)
             prev = getattr(self, "_last_artifact", None)

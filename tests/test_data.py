@@ -83,6 +83,36 @@ class TestPipeline:
         with pytest.raises(RuntimeError, match="corrupt shard"):
             list(it)
 
+    def test_device_prefetch_early_abandon_releases_producer(self):
+        """Abandoning the generator early (the trainer's capped eval passes do
+        this every eval) must release the producer thread and close the source
+        iterator — each leak pins a thread plus size+1 device batches."""
+        import threading
+        import time as _time
+
+        closed = []
+
+        def source():
+            try:
+                ds = make_synthetic(num_examples=256, image_size=8, num_classes=4)
+                for i in range(16):
+                    yield ds.images[:16], ds.labels[:16]
+            finally:
+                closed.append(True)
+
+        g = device_prefetch(source(), size=2)
+        next(g)
+        g.close()  # early abandonment (== break in a for loop + GC)
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if not any(t.name == "nvit-prefetch" and t.is_alive() for t in threading.enumerate()):
+                break
+            _time.sleep(0.05)
+        assert not any(
+            t.name == "nvit-prefetch" and t.is_alive() for t in threading.enumerate()
+        ), "producer thread leaked after consumer abandoned the iterator"
+        assert closed, "source iterator was not closed"
+
 
 class TestNormalize:
     def test_range(self):

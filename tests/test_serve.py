@@ -127,6 +127,18 @@ class TestEndpoints:
         status, payload = _request(server, "POST", "/predict", json.dumps({"images": img}))
         assert status == 400
 
+    def test_nan_pixels_400(self, server):
+        """json.loads accepts the NaN/Infinity literals, and NaN passes both
+        range comparisons (nan<0 and nan>255 are False) — the hardened path
+        must reject non-finite pixels, not cast them to garbage uint8."""
+        img = np.zeros((3, 16, 16), np.float64)
+        body = json.dumps({"images": img.tolist()}).replace("0.0", "NaN", 1)
+        status, payload = _request(server, "POST", "/predict", body)
+        assert status == 400 and "finite" in payload["error"]
+        body = json.dumps({"images": img.tolist()}).replace("0.0", "Infinity", 1)
+        status, payload = _request(server, "POST", "/predict", body)
+        assert status == 400
+
     def test_float_pixels_rounded_not_truncated(self, server):
         base = np.full((3, 16, 16), 100, np.uint8)
         _, p_int = _request(server, "POST", "/predict", json.dumps({"images": base.tolist()}))

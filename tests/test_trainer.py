@@ -64,6 +64,27 @@ class TestCheckpoint:
         assert meta["metrics"]["val/loss"] == 1.25
         assert meta["iter_num"] == 0
 
+    def test_async_write_failure_surfaces_at_join(self, tmp_path, monkeypatch):
+        """A background write failure (disk full, permissions) must raise at
+        the trainer's join, not be swallowed by the daemon thread — otherwise
+        the run logs successful saves while the on-disk checkpoint goes stale."""
+        import nvit_tpu.ckpt.checkpoint as C
+
+        def boom(*a, **k):
+            raise OSError("No space left on device")
+
+        monkeypatch.setattr(C, "_write_files", boom)
+        cfg = make_cfg(tmp_path)
+        state = create_train_state(cfg)
+        t = C.save_checkpoint_async(tmp_path, "ck_fail", state, cfg)
+        t.join()
+        assert t.error_box and "No space left" in str(t.error_box[0])
+
+        trainer = Trainer(config=cfg)
+        trainer._pending_saves = [t]
+        with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+            trainer._join_pending_saves()
+
     def test_restore_for_resume_rebuilds_from_saved_config(self, tmp_path):
         cfg = make_cfg(tmp_path)
         state = create_train_state(cfg)
