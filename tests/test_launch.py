@@ -68,6 +68,58 @@ def test_profile_env_overrides_reach_model(tmp_path):
     assert meta["config"]["model"]["use_kohonen"] is False
 
 
+def test_sigterm_preemption_saves_and_resumes(tmp_path):
+    """Preemption end-to-end, OUT of process (≙ reference signal handling,
+    train.py:113-116, 1175-1180): SIGTERM a live training subprocess, assert
+    the handler writes checkpoint_latest and exits 0, then relaunch with
+    init_from=resume and assert training continues PAST the preempted
+    iteration.  The in-process tests cover cleanup(); this covers the actual
+    kill-a-running-launcher path the relaunch protocol is built around."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.update(TINY_ENV)
+    env["NVIT_DATA__OUT_DIR"] = str(tmp_path / "out")
+    env["NVIT_TRAINING__MAX_ITERS"] = "100000"  # run until killed
+    metrics = tmp_path / "out" / "metrics.jsonl"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "nvit_tpu"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:  # wait until training is really underway
+            if metrics.exists() and metrics.read_text().count("train/batch_loss") >= 2:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(f"trainer exited early: {proc.communicate()[1][-2000:]}")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("trainer never reached iteration 2")
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    assert proc.returncode == 0, proc.communicate()[1][-2000:]
+    meta = json.loads((tmp_path / "out" / "checkpoint_latest.json").read_text())
+    killed_iter = meta["iter_num"]
+    assert killed_iter >= 2
+
+    r = run_entry(tmp_path, extra_env={
+        "NVIT_TRAINING__INIT_FROM": "resume",
+        "NVIT_TRAINING__MAX_ITERS": str(killed_iter + 2),
+        # resume reads from data.checkpoint_dir, which (≙ reference
+        # settings.yaml:88) defaults to ./out, not to this run's out_dir
+        "NVIT_DATA__CHECKPOINT_DIR": str(tmp_path / "out"),
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta2 = json.loads((tmp_path / "out" / "checkpoint_latest.json").read_text())
+    assert meta2["iter_num"] == killed_iter + 2
+
+
 def test_run_profiles_script(tmp_path):
     """run_profiles.sh sweeps every profile, each into its own out dir."""
     profiles = tmp_path / "profiles"
