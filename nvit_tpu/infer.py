@@ -38,6 +38,7 @@ class Predictor:
         device multiple internally; results are identical to single-device."""
         self.cfg = model_cfg
         self._batch_multiple = 1
+        mesh = None
         if data_parallel:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
@@ -50,9 +51,15 @@ class Predictor:
         self.params = params
 
         def forward(p, images_u8: Array) -> Array:
-            x = normalize(images_u8)
-            out = vit_apply(p, model_cfg, x, step=0, train=False, compute_dtype=compute_dtype)
-            return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+            from nvit_tpu.parallel.spmd import kernel_mesh
+
+            # Pallas kernels need shard_map under a multi-device jit
+            # (parallel/spmd.py); the ambient mesh makes the op dispatchers
+            # wrap them over the data axis
+            with kernel_mesh(mesh):
+                x = normalize(images_u8)
+                out = vit_apply(p, model_cfg, x, step=0, train=False, compute_dtype=compute_dtype)
+                return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
 
         self._forward = jax.jit(forward)
 

@@ -19,6 +19,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import Array
+from jax.sharding import PartitionSpec as P
+
+from nvit_tpu.parallel.spmd import axis_size, current_kernel_mesh
 
 
 def sdpa_xla(q: Array, k: Array, v: Array, scale: float) -> Array:
@@ -43,17 +46,41 @@ def _on_tpu() -> bool:
         return False
 
 
+def _attn_spec(mesh, b: int, h: int) -> P | None:
+    """shard_map PartitionSpec for [B, H, T, D] attention operands on the
+    ambient mesh: batch over ``data``, heads over ``model`` (the qkv
+    projection is column-parallel, so tensor parallelism shards heads).
+    None when a dimension doesn't divide its axis — caller falls back to the
+    XLA path, which the SPMD partitioner handles natively."""
+    dp, tp = axis_size(mesh, "data"), axis_size(mesh, "model")
+    if b % dp or h % tp:
+        return None
+    return P("data" if dp > 1 else None, "model" if tp > 1 else None, None, None)
+
+
 def attention(q: Array, k: Array, v: Array, scale: float, *, use_flash: bool = False) -> Array:
     """Non-causal multi-head attention with a custom softmax scale.
 
     ``use_flash`` (≙ reference config.flash_attn) selects the Pallas fused
     kernel on TPU; falls back to the XLA path elsewhere so the same config
-    runs in CPU tests.
+    runs in CPU tests.  Under a multi-device mesh (parallel/spmd.py ambient
+    context) the kernel is shard_mapped — Mosaic kernels cannot be
+    partitioned by GSPMD — or skipped if the shape doesn't divide the mesh.
     """
     if use_flash and _on_tpu():
         from nvit_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale)
+        mesh = current_kernel_mesh()
+        if mesh is None:
+            return flash_attention(q, k, v, scale)
+        spec = _attn_spec(mesh, q.shape[0], q.shape[1])
+        if spec is not None:
+            fn = functools.partial(flash_attention, scale=scale)
+            return jax.shard_map(
+                fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
+            )(
+                q, k, v
+            )
     return sdpa_xla(q, k, v, scale)
 
 
@@ -88,6 +115,18 @@ def attention_qknorm(
     if use_flash and _on_tpu():
         from nvit_tpu.ops.flash_attention import flash_attention_qknorm
 
-        return flash_attention_qknorm(q, k, v, sqk_eff, scale, mode=bounded_softmax)
+        mesh = current_kernel_mesh()
+        if mesh is None:
+            return flash_attention_qknorm(q, k, v, sqk_eff, scale, mode=bounded_softmax)
+        spec = _attn_spec(mesh, q.shape[0], q.shape[1])
+        if spec is not None:
+            # sqk [H, D] shards with the heads; replicated over data — its
+            # gradient is psum'd across data shards by shard_map's transpose
+            s_spec = P(spec[1], None)
+            fn = functools.partial(flash_attention_qknorm, scale=scale, mode=bounded_softmax)
+            return jax.shard_map(
+                fn, mesh=mesh, in_specs=(spec, spec, spec, s_spec), out_specs=spec,
+                check_vma=False,
+            )(q, k, v, sqk_eff)
     qh, kh = qknorm_project_xla(q, k, sqk_eff, v.dtype)
     return sdpa_xla(qh, kh, v, scale)

@@ -247,7 +247,43 @@ def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = 
     reference-default ``bias: true`` config also gets the fused path.  Falls
     back to the identical-semantics XLA chain otherwise — loudly, once, when
     the kernel was requested but the shapes don't tile (VERDICT r2 weak #4).
+
+    Under a multi-device mesh (parallel/spmd.py ambient context) the kernel
+    is shard_mapped over the ``data`` axis with the weights replicated —
+    Mosaic kernels cannot be partitioned by GSPMD.  With a sharded ``model``
+    axis the c_fc weight itself is column-sharded into contiguous u|v halves
+    that land on different devices (parallel/mesh.py nuance), so tensor-
+    parallel configs use the XLA chain, which the partitioner handles.
     """
+    if use_kernel and _on_tpu():
+        from jax.sharding import PartitionSpec as P
+
+        from nvit_tpu.parallel.spmd import axis_size, current_kernel_mesh
+
+        mesh = current_kernel_mesh()
+        if mesh is not None:
+            if axis_size(mesh, "model") > 1 or x.ndim < 2 or x.shape[0] % axis_size(mesh, "data"):
+                return _xla_gated(x, w, b)
+            x_spec = P("data", *([None] * (x.ndim - 1)))
+            w_spec = P(None, None)
+            # per-shard re-dispatch (use_kernel, tiling) runs on LOCAL shapes;
+            # the mesh context is irrelevant inside the already-manual region
+            inner = functools.partial(_gated_dispatch, use_kernel=use_kernel)
+            if b is None:
+                return jax.shard_map(
+                    lambda x_, w_: inner(x_, w_, None),
+                    mesh=mesh, in_specs=(x_spec, w_spec), out_specs=x_spec,
+                    check_vma=False,
+                )(x, w)
+            return jax.shard_map(
+                inner, mesh=mesh, in_specs=(x_spec, w_spec, P(None)), out_specs=x_spec,
+                check_vma=False,
+            )(x, w, b)
+    return _gated_dispatch(x, w, b, use_kernel=use_kernel)
+
+
+def _gated_dispatch(x: Array, w: Array, b: Array | None, *, use_kernel: bool) -> Array:
+    """Single-device kernel-vs-XLA dispatch (the shard_map body under SPMD)."""
     *lead, k = x.shape
     h = w.shape[1] // 2
     n = 1

@@ -1,0 +1,69 @@
+"""SPMD execution of the Pallas kernels: the ambient kernel mesh.
+
+Mosaic (Pallas-TPU) kernels cannot be partitioned by the XLA SPMD
+partitioner — lowering a ``pallas_call`` inside a multi-device ``jit``
+raises ``NotImplementedError: Mosaic kernels cannot be automatically
+partitioned. Please wrap the call in a shard_map.`` (jax
+_src/tpu_custom_call.py).  The reference never faces this: its flash-attn
+CUDA kernel runs under DDP where every process is single-device
+(≙ /root/reference/nvit/train.py:434-446); under SPMD one process drives
+many devices through ONE program, so every kernel call site must be
+shard_mapped over the mesh.
+
+Mechanism: the step builders (train/step.py, infer.Predictor) enter
+``kernel_mesh(mesh)`` around the traced computation; the op dispatchers
+(ops/attention.py, ops/gated_mlp.py) read ``current_kernel_mesh()`` at
+TRACE time and wrap their ``pallas_call`` in ``jax.shard_map`` with specs
+matching the model's GSPMD layout:
+
+* attention q/k/v [B, H, T, D]: batch over ``data``, heads over ``model``
+  (the qkv projection is column-parallel, so the head axis is what tensor
+  parallelism shards);
+* gated MLP x [B, T, K]: rows over ``data`` with weights replicated —
+  under tensor parallelism (``model`` axis > 1) the c_fc weight itself is
+  sharded, so the kernel defers to the XLA chain, which GSPMD partitions
+  (see parallel/mesh.py's contiguous u|v halves note).
+
+When a dimension does not divide its mesh axis the dispatcher falls back
+to the XLA path instead of resharding — GSPMD partitions plain XLA ops
+fine; the kernels are an optimization, never a requirement.
+
+The context is a trace-time decision channel, like ``ops.attention._on_tpu``:
+it deliberately does NOT travel through ``ViTConfig`` (a Mesh is runtime
+state — unserializable, not checkpoint metadata).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from jax.sharding import Mesh
+
+_MESH_STACK: list[Mesh | None] = [None]
+
+
+@contextmanager
+def kernel_mesh(mesh: Mesh | None):
+    """Make ``mesh`` the ambient mesh for Pallas-op dispatch while tracing.
+
+    Entering with ``None`` (or a 1-device mesh) leaves dispatch unchanged —
+    callers can wrap unconditionally."""
+    _MESH_STACK.append(mesh)
+    try:
+        yield
+    finally:
+        _MESH_STACK.pop()
+
+
+def current_kernel_mesh() -> Mesh | None:
+    """The mesh Pallas ops must shard_map over (None: single-device jit)."""
+    mesh = _MESH_STACK[-1]
+    if mesh is not None and mesh.size == 1:
+        return None  # 1-device jit lowers Mosaic kernels directly
+    return mesh
+
+
+def axis_size(mesh: Mesh, name: str) -> int:
+    """Size of a mesh axis, 1 if the mesh doesn't have it (e.g. the
+    Predictor's 1-D data mesh has no ``model`` axis)."""
+    return mesh.shape[name] if name in mesh.axis_names else 1

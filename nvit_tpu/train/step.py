@@ -29,6 +29,7 @@ from nvit_tpu.configs.schema import Config
 from nvit_tpu.models.losses import topk_accuracy
 from nvit_tpu.models.schedules import cosine_lr
 from nvit_tpu.models.vit import total_loss, vit_apply
+from nvit_tpu.parallel.spmd import kernel_mesh
 from nvit_tpu.train.optim import fused_adamw_renorm_update
 from nvit_tpu.train.state import TrainState, compute_dtype_of
 
@@ -63,7 +64,7 @@ def make_loss_fn(cfg: Config):
 
 
 def make_train_step(
-    cfg: Config, log_norms: bool | None = None
+    cfg: Config, log_norms: bool | None = None, mesh=None
 ) -> Callable[[TrainState, Array, Array], tuple[TrainState, Metrics]]:
     """Build the (jittable) train step: (state, images, labels) → (state', metrics).
 
@@ -77,6 +78,11 @@ def make_train_step(
     and runs the norms one only on log-interval iterations, so the default
     config keeps the per-component norm metrics without paying for them on
     every hot step (≙ reference: norms are eval-time, train.py:749-751).
+
+    ``mesh``: the SPMD device mesh the step will be jitted over, when
+    multi-device.  Pallas kernels cannot be partitioned by GSPMD; the mesh
+    is made ambient during tracing so the op dispatchers shard_map them
+    (parallel/spmd.py).  Plain XLA ops ignore it.
     """
     mcfg = cfg.model
     accum = max(1, cfg.training.gradient_accumulation_steps)
@@ -122,6 +128,10 @@ def make_train_step(
         return grads, terms, s
 
     def train_step(state: TrainState, images: Array, labels: Array) -> tuple[TrainState, Metrics]:
+        with kernel_mesh(mesh):
+            return _train_step_body(state, images, labels)
+
+    def _train_step_body(state, images, labels):
         grads, terms, som_info = compute_grads(state.params, images, labels, state.step)
 
         # one fused sweep: clip → AdamW → apply → (nViT) renorm per leaf
@@ -160,16 +170,21 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(cfg: Config) -> Callable[[Any, Array, Array], Metrics]:
+def make_eval_step(cfg: Config, mesh=None) -> Callable[[Any, Array, Array], Metrics]:
     """Eval step: (params, images, labels) → per-batch metrics.
 
     ≙ reference validate() inner loop (train.py:590-608): full weighted loss,
-    per-term breakdown, top-1/top-5 accuracy.
+    per-term breakdown, top-1/top-5 accuracy.  ``mesh`` as in
+    make_train_step (shard_maps the Pallas kernels under multi-device jit).
     """
     mcfg = cfg.model
     dt = compute_dtype_of(cfg)
 
     def eval_step(params, images: Array, labels: Array) -> Metrics:
+        with kernel_mesh(mesh):
+            return _eval_body(params, images, labels)
+
+    def _eval_body(params, images, labels):
         out = vit_apply(params, mcfg, images, step=0, train=False, compute_dtype=dt)
         loss, terms = total_loss(
             mcfg,

@@ -203,11 +203,13 @@ class Trainer:
         # HBM-bound step); the norms variant runs only on iterations whose
         # metrics are actually logged, so the default config keeps the
         # per-component norms without paying for them every step
-        step_plain = make_train_step(cfg, log_norms=False)
+        step_plain = make_train_step(cfg, log_norms=False, mesh=self.mesh)
         step_norms = (
-            make_train_step(cfg, log_norms=True) if cfg.system.log_gpu_stats else step_plain
+            make_train_step(cfg, log_norms=True, mesh=self.mesh)
+            if cfg.system.log_gpu_stats
+            else step_plain
         )
-        self._eval_step = make_eval_step(cfg)
+        self._eval_step = make_eval_step(cfg, mesh=self.mesh)
         if cfg.system.jit:
             jit_plain = jax.jit(step_plain, donate_argnums=0)
             jit_norms = (

@@ -88,7 +88,7 @@ def test_sigterm_preemption_saves_and_resumes(tmp_path):
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
     try:
-        deadline = time.time() + 300
+        deadline = time.time() + 600  # generous: full-suite load can slow startup 5-10x
         while time.time() < deadline:  # wait until training is really underway
             if metrics.exists() and metrics.read_text().count("train/batch_loss") >= 2:
                 break
@@ -98,7 +98,7 @@ def test_sigterm_preemption_saves_and_resumes(tmp_path):
         else:
             raise AssertionError("trainer never reached iteration 2")
         proc.send_signal(signal.SIGTERM)
-        proc.wait(timeout=120)
+        proc.wait(timeout=300)  # handler saves a checkpoint; slow under suite load
     finally:
         if proc.poll() is None:
             proc.kill()
