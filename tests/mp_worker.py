@@ -9,7 +9,11 @@ train.py:220-231).  Invoked as:
 mode = "train" (default) runs 4 iters and exits; "orbax" trains with the
 orbax checkpoint backend (a COLLECTIVE multi-host save — every process
 writes its addressable shards), then resumes from it in-process and trains
-2 more iters (VERDICT r2 next #2).
+2 more iters (VERDICT r2 next #2); "flash" forces the Pallas-kernel
+dispatch (flash_attn=true, _on_tpu monkeypatched, kernels run under the
+generic interpreter) so the shard_map kernel wrap (parallel/spmd.py) is
+exercised over a mesh that SPANS PROCESS BOUNDARIES — each process
+executes its addressable shards of the shard_mapped kernels.
 
 The parent sets JAX_PLATFORMS=cpu / PALLAS_AXON_POOL_IPS= /
 XLA_FLAGS=--xla_force_host_platform_device_count=K in the environment.
@@ -28,6 +32,27 @@ def main() -> None:
     if nproc > 1:
         jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=rank)
 
+    if mode == "flash":
+        # force the kernel dispatch on CPU: _on_tpu → True in both op
+        # modules (gated_mlp holds its own imported reference), and every
+        # pallas_call runs the GENERIC interpreter (the mosaic multi-device
+        # interpreter deadlocks on >~1KB replicated shard_map operands —
+        # see tests/spmd_checks.py::generic_interpret_mode)
+        from jax.experimental import pallas as pl
+
+        import nvit_tpu.ops.attention  # noqa: F401
+        import nvit_tpu.ops.gated_mlp  # noqa: F401
+
+        sys.modules["nvit_tpu.ops.attention"]._on_tpu = lambda: True
+        sys.modules["nvit_tpu.ops.gated_mlp"]._on_tpu = lambda: True
+        _orig_pallas_call = pl.pallas_call
+
+        def _interp_pallas_call(*args, **kwargs):
+            kwargs.setdefault("interpret", True)
+            return _orig_pallas_call(*args, **kwargs)
+
+        pl.pallas_call = _interp_pallas_call
+
     import dataclasses
 
     from nvit_tpu.configs.schema import (
@@ -40,7 +65,8 @@ def main() -> None:
         model=ViTConfig(
             image_size=16, n_layer=1, n_head=2, n_embd=32, num_classes=10,
             local_patch_size=4, global_patch_size=8, use_nvit=True,
-            use_kohonen=True, kohonen_nodes=18, bias=True, flash_attn=False,
+            use_kohonen=True, kohonen_nodes=18, bias=True,
+            flash_attn=(mode == "flash"),
         ),
         training=TrainingConfig(
             batch_size=16, max_iters=4, max_iters_per_launch=100,

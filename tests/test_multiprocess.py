@@ -122,6 +122,34 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert (out_mp / "metrics.jsonl").exists()
 
 
+def test_two_process_flash_kernels_match_single_process(tmp_path):
+    """The shard_map kernel dispatch (parallel/spmd.py) across REAL process
+    boundaries: 2 processes × 2 devices run a flash_attn=true train step
+    whose Pallas kernels are shard_mapped over the 4-device global mesh
+    (generic-interpreter kernels, _on_tpu forced in the worker), and the
+    final parameters equal a 1-process 4-device run of the same config.
+    ≙ reference: flash-attn under multi-process DDP (train.py:434-446) —
+    which the reference never tested."""
+    out_mp = tmp_path / "mp"
+    out_sp = tmp_path / "sp"
+    out_mp.mkdir()
+    out_sp.mkdir()
+
+    outs = _run_workers(2, out_mp, devices_per_proc=2, mode="flash")
+    assert "RANK0_DONE iter=4" in outs[0]
+    assert "RANK1_DONE iter=4" in outs[1]
+    _run_workers(1, out_sp, devices_per_proc=4, mode="flash")
+
+    ck_mp = np.load(out_mp / "checkpoint_latest.npz")
+    ck_sp = np.load(out_sp / "checkpoint_latest.npz")
+    assert set(ck_mp.files) == set(ck_sp.files)
+    for name in ck_sp.files:
+        np.testing.assert_allclose(
+            ck_mp[name], ck_sp[name], rtol=2e-4, atol=2e-5,
+            err_msg=f"param {name} diverged between 2-process and 1-process flash runs",
+        )
+
+
 def test_two_process_orbax_save_and_resume(tmp_path):
     """Orbax checkpointing across 2 real processes: the save is COLLECTIVE
     (every process writes its addressable shards), and each process resumes
