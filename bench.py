@@ -28,15 +28,32 @@ PEAK_BF16 = {
     "v6e": 918e12,
 }
 
+# HBM bandwidth per chip, bytes/sec (public spec sheets) — used for the live
+# traffic-floor readout (the step is HBM-bound; BASELINE.md round-3 derivation)
+HBM_BW = {
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "v6e": 1640e9,
+}
+
+
+def _chip_lookup(table: dict[str, float]) -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in table.items():
+        if key in kind.replace(" ", "").replace("lite", "e"):
+            return val
+    if "v5" in kind and "lite" in kind:
+        return table["v5e"]
+    return table["v5e"]
+
 
 def chip_peak_flops() -> float:
-    kind = jax.devices()[0].device_kind.lower()
-    for key, peak in PEAK_BF16.items():
-        if key in kind.replace(" ", "").replace("lite", "e"):
-            return peak
-    if "v5" in kind and "lite" in kind:
-        return PEAK_BF16["v5e"]
-    return PEAK_BF16["v5e"]
+    return _chip_lookup(PEAK_BF16)
+
+
+def chip_hbm_bw() -> float:
+    return _chip_lookup(HBM_BW)
 
 
 def main() -> None:
@@ -90,12 +107,13 @@ def main() -> None:
     # XLA's own flop count for the compiled step (before the loop: donation
     # invalidates `state` afterwards).  Shares the persistent compile cache
     # with the jit call, so this adds no extra remote compile.
-    xla_flops = None
+    xla_flops = xla_bytes = None
     try:
         from nvit_tpu.obs.profiling import xla_cost_analysis
 
         ca = xla_cost_analysis(step_fn.lower(state, imgs, labels).compile())
         xla_flops = float(ca.get("flops", 0.0)) or None
+        xla_bytes = float(ca.get("bytes accessed", 0.0)) or None
     except Exception:  # pragma: no cover - cost analysis is best-effort
         pass
 
@@ -140,6 +158,18 @@ def main() -> None:
                     # cross-attn / hypersphere work (BASELINE.md derivation)
                     "hw_flops_utilization": (
                         round(xla_flops / (dt * peak), 4) if xla_flops else None
+                    ),
+                    # the step is HBM-traffic-bound (BASELINE.md round-3
+                    # derivation): its attainable floor is XLA's byte count
+                    # over the chip's HBM bandwidth plus a serial attention-
+                    # VPU term; traffic_floor_frac = floor/measured shows how
+                    # close the step runs to the pure-bandwidth bound
+                    "hbm_bytes_gb": round(xla_bytes / 1e9, 1) if xla_bytes else None,
+                    "hbm_traffic_floor_ms": (
+                        round(1e3 * xla_bytes / chip_hbm_bw(), 1) if xla_bytes else None
+                    ),
+                    "traffic_floor_frac": (
+                        round(xla_bytes / chip_hbm_bw() / dt, 4) if xla_bytes else None
                     ),
                     "device": jax.devices()[0].device_kind,
                     "peak_bf16_tflops": peak / 1e12,
