@@ -43,9 +43,7 @@ def _chip_lookup(table: dict[str, float]) -> float:
     for key, val in table.items():
         if key in kind.replace(" ", "").replace("lite", "e"):
             return val
-    if "v5" in kind and "lite" in kind:
-        return table["v5e"]
-    return table["v5e"]
+    return table["v5e"]  # unknown chip: assume the attached v5e
 
 
 def chip_peak_flops() -> float:

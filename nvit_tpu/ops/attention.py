@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import Array
 from jax.sharding import PartitionSpec as P
 
-from nvit_tpu.parallel.spmd import axis_size, current_kernel_mesh
+from nvit_tpu.parallel.spmd import axis_size, current_kernel_mesh, warn_kernel_fallback
 
 
 def sdpa_xla(q: Array, k: Array, v: Array, scale: float) -> Array:
@@ -54,6 +54,12 @@ def _attn_spec(mesh, b: int, h: int) -> P | None:
     XLA path, which the SPMD partitioner handles natively."""
     dp, tp = axis_size(mesh, "data"), axis_size(mesh, "model")
     if b % dp or h % tp:
+        warn_kernel_fallback(
+            ("attention", b, h, dp, tp),
+            "attention: flash kernel requested but shape (B=%d, H=%d) does not "
+            "divide the mesh (data=%d, model=%d) — using the XLA path, which "
+            "GSPMD partitions", b, h, dp, tp,
+        )
         return None
     return P("data" if dp > 1 else None, "model" if tp > 1 else None, None, None)
 

@@ -258,11 +258,21 @@ def gated_mlp(x: Array, w: Array, b: Array | None = None, *, use_kernel: bool = 
     if use_kernel and _on_tpu():
         from jax.sharding import PartitionSpec as P
 
-        from nvit_tpu.parallel.spmd import axis_size, current_kernel_mesh
+        from nvit_tpu.parallel.spmd import axis_size, current_kernel_mesh, warn_kernel_fallback
 
         mesh = current_kernel_mesh()
         if mesh is not None:
-            if axis_size(mesh, "model") > 1 or x.ndim < 2 or x.shape[0] % axis_size(mesh, "data"):
+            tp, dp = axis_size(mesh, "model"), axis_size(mesh, "data")
+            if tp > 1 or x.ndim < 2 or x.shape[0] % dp:
+                warn_kernel_fallback(
+                    ("gated_mlp_mesh", x.shape, dp, tp),
+                    "gated_mlp: fused kernel requested but %s under the mesh "
+                    "(data=%d, model=%d) — using the XLA chain, which GSPMD "
+                    "partitions",
+                    "the c_fc u|v column halves are split across the model axis"
+                    if tp > 1 else f"rows {x.shape} do not divide the data axis",
+                    dp, tp,
+                )
                 return _xla_gated(x, w, b)
             x_spec = P("data", *([None] * (x.ndim - 1)))
             w_spec = P(None, None)

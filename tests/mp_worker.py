@@ -33,25 +33,13 @@ def main() -> None:
         jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=rank)
 
     if mode == "flash":
-        # force the kernel dispatch on CPU: _on_tpu → True in both op
-        # modules (gated_mlp holds its own imported reference), and every
-        # pallas_call runs the GENERIC interpreter (the mosaic multi-device
-        # interpreter deadlocks on >~1KB replicated shard_map operands —
-        # see tests/spmd_checks.py::generic_interpret_mode)
-        from jax.experimental import pallas as pl
+        # force the kernel dispatch on CPU under the generic interpreter
+        # (rationale in tests/kernel_force.py); the whole worker lifetime
+        # runs patched, so enter without a with-block
+        from tests.kernel_force import force_on_tpu, generic_interpret_mode
 
-        import nvit_tpu.ops.attention  # noqa: F401
-        import nvit_tpu.ops.gated_mlp  # noqa: F401
-
-        sys.modules["nvit_tpu.ops.attention"]._on_tpu = lambda: True
-        sys.modules["nvit_tpu.ops.gated_mlp"]._on_tpu = lambda: True
-        _orig_pallas_call = pl.pallas_call
-
-        def _interp_pallas_call(*args, **kwargs):
-            kwargs.setdefault("interpret", True)
-            return _orig_pallas_call(*args, **kwargs)
-
-        pl.pallas_call = _interp_pallas_call
+        force_on_tpu().__enter__()
+        generic_interpret_mode().__enter__()
 
     import dataclasses
 

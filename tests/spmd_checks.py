@@ -10,7 +10,6 @@ single-program processes never hang).  ``python tests/spmd_checks.py <name>``.
 
 import math
 import sys
-from contextlib import contextmanager
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
@@ -18,36 +17,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-@contextmanager
-def generic_interpret_mode():
-    """Run every pallas_call through the GENERIC Pallas interpreter
-    (``interpret=True`` — plain jax ops, no simulated-device threads).
-
-    The mosaic multi-device interpreter (``force_tpu_interpret_mode``)
-    deadlocks when a shard_map-replicated operand larger than ~1 KB feeds a
-    kernel: every simulated-device io_callback thread blocks fetching the
-    operand value in ``interpret_pallas_call._allocate_buffer`` (np.array of
-    a pending replicated buffer) while the main thread waits on the result —
-    reproduced at [128, 512] f32 and absent at [4, 32] on jax 0.8 with 2-8
-    CPU devices.  The gated-MLP checks replicate the [K, 2H] weight, so they
-    (and the full train step, which contains one) use the generic
-    interpreter; numerics are identical and the mosaic lowering itself is
-    covered on real hardware by scripts/tpu_shardmap_smoke.py."""
-    orig = pl.pallas_call
-
-    def patched(*args, **kwargs):
-        kwargs.setdefault("interpret", True)
-        return orig(*args, **kwargs)
-
-    pl.pallas_call = patched
-    try:
-        yield
-    finally:
-        pl.pallas_call = orig
+# the gated-MLP checks replicate the [K, 2H] weight across the mesh, which
+# trips a mosaic-interpreter deadlock — they (and the full train step) use
+# the generic interpreter; rationale in tests/kernel_force.py
+from tests.kernel_force import generic_interpret_mode
 
 import nvit_tpu.ops.attention  # noqa: F401
 import nvit_tpu.ops.gated_mlp  # noqa: F401

@@ -80,36 +80,28 @@ def test_predictor_data_parallel_matches_single_device(tmp_path):
         )
 
 
-def test_predictor_data_parallel_flash_kernels(tmp_path, monkeypatch):
+def test_predictor_data_parallel_flash_kernels(tmp_path):
     """Data-parallel Predictor with flash_attn=true: the Pallas kernels must
     be shard_mapped over the Predictor's data mesh (parallel/spmd.py) and
     match the XLA path.  Kernels run under the GENERIC interpreter (the
     mosaic multi-device interpreter deadlocks on large replicated shard_map
     operands — tests/spmd_checks.py)."""
     import dataclasses
-    import sys
 
     import jax
-    from jax.experimental import pallas as pl
 
-    import nvit_tpu.ops.attention  # noqa: F401
-    import nvit_tpu.ops.gated_mlp  # noqa: F401
-
-    monkeypatch.setattr(sys.modules["nvit_tpu.ops.attention"], "_on_tpu", lambda: True)
-    monkeypatch.setattr(sys.modules["nvit_tpu.ops.gated_mlp"], "_on_tpu", lambda: True)
-    orig_call = pl.pallas_call
-    monkeypatch.setattr(
-        pl, "pallas_call", lambda *a, **k: orig_call(*a, **{"interpret": True, **k})
-    )
+    from tests.kernel_force import force_on_tpu, generic_interpret_mode
 
     cfg = small_cfg(tmp_path)
     cfg_flash = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, flash_attn=True)
     )
     xla_ref = Predictor.from_config(cfg, compute_dtype=None)
-    dp = Predictor(xla_ref.params, cfg_flash.model, compute_dtype=None, data_parallel=True)
-    assert dp._batch_multiple == jax.device_count()
-    imgs = np.random.RandomState(5).randint(0, 256, (8, 3, 16, 16), dtype=np.uint8)
-    np.testing.assert_allclose(
-        dp.predict_probs(imgs), xla_ref.predict_probs(imgs), rtol=1e-4, atol=1e-5
-    )
+    with force_on_tpu(), generic_interpret_mode():
+        dp = Predictor(
+            xla_ref.params, cfg_flash.model, compute_dtype=None, data_parallel=True
+        )
+        assert dp._batch_multiple == jax.device_count()
+        imgs = np.random.RandomState(5).randint(0, 256, (8, 3, 16, 16), dtype=np.uint8)
+        got = dp.predict_probs(imgs)
+    np.testing.assert_allclose(got, xla_ref.predict_probs(imgs), rtol=1e-4, atol=1e-5)

@@ -36,7 +36,7 @@ TINY_ENV = {
 }
 
 
-def run_entry(tmp_path, extra_env=None, timeout=300):
+def run_entry(tmp_path, extra_env=None, timeout=600):  # generous under suite load
     env = dict(os.environ)
     env.update(TINY_ENV)
     env["NVIT_DATA__OUT_DIR"] = str(tmp_path / "out")
