@@ -79,19 +79,25 @@ class TestAmbientMesh:
         assert current_kernel_mesh() is None
 
 
-def test_attention_indivisible_heads_falls_back(force_tpu):
+def test_attention_indivisible_heads_falls_back(force_tpu, caplog):
     """h=3 does not divide model=2 → dispatch must fall back to XLA instead
-    of shard_mapping (or crashing).  No kernel executes, so this runs
-    in-process."""
+    of shard_mapping (or crashing), and must SAY so once (a multi-chip run
+    that silently lost the fused kernels would be an invisible slowdown).
+    No kernel executes, so this runs in-process."""
+    import logging
+
     mesh = make_mesh(model_parallel=2)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
     q = jax.random.normal(k1, (8, 3, 16, 32), jnp.float32)
     k = jax.random.normal(k2, (8, 3, 16, 32), jnp.float32)
     v = jax.random.normal(k3, (8, 3, 16, 32), jnp.float32)
     ref = sdpa_xla(q, k, v, 0.25)
-    with kernel_mesh(mesh):
+    with kernel_mesh(mesh), caplog.at_level(logging.WARNING, logger="nvit_tpu"):
         out = jax.jit(lambda a, b, c: attention(a, b, c, 0.25, use_flash=True))(q, k, v)
+        jax.jit(lambda a, b, c: attention(a, b, c, 0.25, use_flash=True)).lower(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    warns = [r for r in caplog.records if "flash kernel requested" in r.message]
+    assert len(warns) == 1, [r.message for r in caplog.records]  # once per (shape, mesh)
 
 
 def test_gated_mlp_tensor_parallel_uses_xla(force_tpu):
