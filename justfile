@@ -71,6 +71,11 @@ accuracy-parity:
 digits-matrix:
     ./scripts/digits_matrix.sh
 
+# BASELINE config 5 pre-staged: nViT-L/16 data-parallel on a multi-chip host
+# (exits 2 with instructions on this single-chip container).
+scale-run *ARGS:
+    ./scripts/scale_run.sh {{ARGS}}
+
 test:
     python -m pytest tests/ -x -q
 
