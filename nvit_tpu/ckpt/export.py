@@ -39,14 +39,23 @@ def export_for_inference(
     the master copy exact)."""
     from nvit_tpu.ckpt.checkpoint import _write_files, restore_for_resume
 
-    if dtype not in ("bfloat16", "float32"):
-        raise ValueError(f"export dtype must be bfloat16 or float32, got {dtype!r}")
+    if dtype not in ("bfloat16", "float32", "int8"):
+        raise ValueError(f"export dtype must be bfloat16, float32 or int8, got {dtype!r}")
     state, cfg, meta = restore_for_resume(out_dir, name)
-    np_dtype = np.dtype(dtype) if dtype == "float32" else jax.numpy.bfloat16.dtype
-    stored = []
-    for x in jax.tree_util.tree_leaves(jax.device_get(state.params)):
-        a = np.asarray(x)
-        stored.append(a.astype(np_dtype) if np.issubdtype(a.dtype, np.floating) else a)
+    params = jax.device_get(state.params)
+    if dtype == "int8":
+        # w8a8 serving artifact (ops/quant.py): linears become int8 + per-
+        # column fp32 scales, everything else stays fp32 — ~12x smaller than
+        # the training checkpoint, load-ready for Predictor (no requantize)
+        from nvit_tpu.ops.quant import quantize_vit_params
+
+        stored = [np.asarray(x) for x in jax.tree_util.tree_leaves(quantize_vit_params(params))]
+    else:
+        np_dtype = np.dtype(dtype) if dtype == "float32" else jax.numpy.bfloat16.dtype
+        stored = []
+        for x in jax.tree_util.tree_leaves(params):
+            a = np.asarray(x)
+            stored.append(a.astype(np_dtype) if np.issubdtype(a.dtype, np.floating) else a)
 
     dest = Path(dest)
     dest.mkdir(parents=True, exist_ok=True)
@@ -79,7 +88,15 @@ def load_export(dest: str | Path, name: str) -> tuple[Any, "ViTConfig"]:  # noqa
     # abstract template gives the treedef without running (or compiling) the
     # initializer — matters on the TPU serving path where a throwaway init
     # would be a real compiled program
-    template = jax.eval_shape(lambda k: init_vit(k, model_cfg), jax.random.PRNGKey(0))
+    def _template_fn(k):
+        p = init_vit(k, model_cfg)
+        if meta.get("dtype") == "int8":
+            from nvit_tpu.ops.quant import quantize_vit_params
+
+            p = quantize_vit_params(p)
+        return p
+
+    template = jax.eval_shape(_template_fn, jax.random.PRNGKey(0))
     treedef = jax.tree_util.tree_structure(template)
     with np.load(dest / f"{name}.export.npz") as z:
         stored = [z[f"leaf_{i}"] for i in range(meta["num_leaves"])]
@@ -102,7 +119,7 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint", default="out")
     ap.add_argument("--name", default="checkpoint_best")
     ap.add_argument("--dest", default="deploy")
-    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32", "int8"])
     args = ap.parse_args(argv)
     path = export_for_inference(args.checkpoint, args.name, args.dest, dtype=args.dtype)
     size_mb = path.stat().st_size / 1e6

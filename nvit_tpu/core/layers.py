@@ -43,7 +43,18 @@ def init_linear(
 def linear(p: Params, x: Array, *, compute_dtype: Any = None) -> Array:
     """``x @ w (+ b)``.  When ``compute_dtype`` is set (bf16 policy), both the
     activation and the weight are cast before the matmul — the MXU path — and
-    the output stays in the compute dtype (≙ torch autocast semantics)."""
+    the output stays in the compute dtype (≙ torch autocast semantics).
+
+    Quantized leaves (``{"wq", "scale"[, "b"]}``, produced by
+    ops/quant.quantize_vit_params for the int8 serving path) dispatch to the
+    int8 MXU matmul; ``compute_dtype`` is moot there (the epilogue returns in
+    ``x.dtype``)."""
+    if "wq" in p:
+        from nvit_tpu.ops.quant import quantized_linear
+
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        return quantized_linear(p, x)
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -53,6 +64,25 @@ def linear(p: Params, x: Array, *, compute_dtype: Any = None) -> Array:
         b = p["b"].astype(y.dtype) if compute_dtype is not None else p["b"]
         y = y + b
     return y
+
+
+def concat_linears(parts: list[Params]) -> Params:
+    """Fuse linears that share an input into one wider projection (the QKV /
+    KV fusions in models/blocks.py) — out-axis concatenation of weights and
+    biases.  Handles both full-precision (``w``) and int8-quantized (``wq`` +
+    per-output-channel ``scale``) leaves: per-column scales concatenate along
+    the same axis, so the fused quantized projection is bit-identical to
+    running the parts separately."""
+    if "wq" in parts[0]:
+        p: Params = {
+            "wq": jnp.concatenate([q["wq"] for q in parts], axis=1),
+            "scale": jnp.concatenate([q["scale"] for q in parts]),
+        }
+    else:
+        p = {"w": jnp.concatenate([q["w"] for q in parts], axis=1)}
+    if "b" in parts[0]:
+        p["b"] = jnp.concatenate([q["b"] for q in parts])
+    return p
 
 
 def init_conv_patch(

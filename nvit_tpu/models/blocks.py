@@ -27,7 +27,7 @@ from jax import Array
 from jax.ad_checkpoint import checkpoint_name
 
 from nvit_tpu.configs.schema import ViTConfig
-from nvit_tpu.core.layers import c_proj_std, init_linear, linear
+from nvit_tpu.core.layers import c_proj_std, concat_linears, init_linear, linear
 from nvit_tpu.core.norms import rms_norm
 from nvit_tpu.core.residual import slerp_residual
 from nvit_tpu.ops.attention import attention, attention_qknorm
@@ -84,7 +84,12 @@ def _gated_linear(p: Params, x: Array, *, compute_dtype: Any, use_kernel: bool) 
     the MLP (model.py:148-155) and CrossAttentionBlock's output (model.py:
     258-262).  Casting contract matches core.layers.linear; dispatches to the
     fused Pallas kernel (ops/gated_mlp.py) so the double-width ``uv`` tensor
-    never round-trips HBM."""
+    never round-trips HBM.  Int8-quantized params (serving path, ops/quant.py)
+    run the projection on the int8 MXU and gate in the compute dtype."""
+    if "wq" in p:
+        uv = linear(p, x, compute_dtype=compute_dtype)
+        u, v = jnp.split(uv, 2, axis=-1)
+        return u * jax.nn.silu(v)
     w, b = p["w"], p.get("b")
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -128,10 +133,7 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
     # three times, and the backward produces dx in one matmul instead of
     # three-plus-adds.  Params stay separate (checkpoint/renorm parity);
     # autodiff slices the weight gradient back apart.
-    w_qkv = jnp.concatenate([p["query"]["w"], p["key"]["w"], p["value"]["w"]], axis=1)
-    p_qkv: Params = {"w": w_qkv}
-    if "b" in p["query"]:
-        p_qkv["b"] = jnp.concatenate([p["query"]["b"], p["key"]["b"], p["value"]["b"]])
+    p_qkv = concat_linears([p["query"], p["key"], p["value"]])
     qkv = linear(p_qkv, x, compute_dtype=dt)
     q, k, v = (_split_heads(t, cfg.n_head) for t in jnp.split(qkv, 3, axis=-1))
 
@@ -166,7 +168,16 @@ def block_apply(p: Params, cfg: ViTConfig, h: Array, *, compute_dtype: Any = Non
         # (≙ reference model.py:147-151, which scales activations — the
         # flash-attn library it leans on does the analogous fold for sqk).
         suv_eff = p["suv"] * ((SUV_INIT_VALUE / SUV_INIT_SCALING) * math.sqrt(cfg.n_embd))
-        c_fc_eff: Params = {"w": p["c_fc"]["w"] * suv_eff}
+        if "wq" in p["c_fc"]:
+            # int8 serving path: suv scales OUTPUT columns, so it folds into
+            # the per-output-channel quant scale exactly — bit-identical to
+            # quantizing the suv-folded weight (ops/quant.py module docs)
+            c_fc_eff: Params = {
+                "wq": p["c_fc"]["wq"],
+                "scale": p["c_fc"]["scale"] * suv_eff,
+            }
+        else:
+            c_fc_eff = {"w": p["c_fc"]["w"] * suv_eff}
         if "b" in p["c_fc"]:
             c_fc_eff["b"] = p["c_fc"]["b"] * suv_eff
     else:
@@ -216,9 +227,7 @@ def cross_attention_apply(
     q = _split_heads(linear(p["q_local"], local, compute_dtype=dt), cfg.n_head)
     # fused KV projection — K and V both read the global stream; one matmul
     # reads it once (see the QKV fuse in block_apply)
-    p_kv: Params = {"w": jnp.concatenate([p["k_global"]["w"], p["v_global"]["w"]], axis=1)}
-    if "b" in p["k_global"]:
-        p_kv["b"] = jnp.concatenate([p["k_global"]["b"], p["v_global"]["b"]])
+    p_kv = concat_linears([p["k_global"], p["v_global"]])
     kv = linear(p_kv, global_, compute_dtype=dt)
     k, v = (_split_heads(t, cfg.n_head) for t in jnp.split(kv, 2, axis=-1))
 

@@ -170,11 +170,14 @@ def main(argv=None) -> None:
                     help="load a params-only inference export (ckpt.export) instead of a training checkpoint")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard prediction batches over all attached devices (multi-chip hosts)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-quantize the model for serving (w8a8, ops/quant.py)")
     args = ap.parse_args(argv)
 
     load = Predictor.from_export if args.export else Predictor.from_checkpoint
     service = InferenceService(
-        load(args.checkpoint, args.name, data_parallel=args.data_parallel),
+        load(args.checkpoint, args.name, data_parallel=args.data_parallel,
+             quantize="int8" if args.int8 else None),
         max_batch=args.max_batch,
     )
     service.warmup()

@@ -64,6 +64,28 @@ class TestExport:
         p_exp = Predictor.from_export(tmp_path / "d3", "checkpoint_best").predict_probs(imgs)
         np.testing.assert_allclose(p_full, p_exp, atol=2e-2)
 
+    def test_int8_export_roundtrip(self, ckpt, tmp_path):
+        out, cfg, state = ckpt
+        path = export_for_inference(out, "checkpoint_best", tmp_path / "d8", dtype="int8")
+        # int8 artifact beats even the bf16 export on size
+        bf16 = export_for_inference(out, "checkpoint_best", tmp_path / "d8b")
+        assert path.stat().st_size < bf16.stat().st_size
+        imgs = np.random.RandomState(2).randint(0, 256, (3, 3, 16, 16)).astype(np.uint8)
+        # load-ready: the artifact already holds quantized leaves, and the
+        # quantized predictor over the ORIGINAL checkpoint must agree exactly
+        # (same quantization applied at export vs at load)
+        p_exp = Predictor.from_export(tmp_path / "d8", "checkpoint_best").predict_probs(imgs)
+        p_q = Predictor.from_checkpoint(out, "checkpoint_best", quantize="int8").predict_probs(imgs)
+        np.testing.assert_allclose(p_exp, p_q, atol=1e-5)
+        # passing quantize="int8" on an already-int8 artifact is a no-op
+        p_idem = Predictor.from_export(
+            tmp_path / "d8", "checkpoint_best", quantize="int8"
+        ).predict_probs(imgs)
+        np.testing.assert_allclose(p_idem, p_exp, atol=1e-6)
+        # and close to the full-precision serving path
+        p_full = Predictor.from_checkpoint(out, "checkpoint_best").predict_probs(imgs)
+        assert np.abs(p_exp - p_full).mean() < 0.02
+
     def test_bad_dtype_raises(self, ckpt, tmp_path):
         out, *_ = ckpt
         with pytest.raises(ValueError, match="dtype"):
