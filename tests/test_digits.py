@@ -102,3 +102,15 @@ class TestDigitsConvergence:
         top5 = evals[-1]["val/top5_accuracy"]
         assert top1 >= 70.0, f"held-out top-1 {top1:.1f}% < 70%"
         assert top5 >= 95.0, f"held-out top-5 {top5:.1f}% < 95%"
+
+        # int8 serving path on REAL data: quantizing the trained model costs
+        # (essentially) no held-out accuracy — measured identical on digits;
+        # threshold allows 2 points for platform rounding drift
+        from nvit_tpu.infer import Predictor
+
+        va = load_digits_dataset(train=False, image_size=16)
+        p_fp = Predictor.from_checkpoint(tmp_path / "out", "checkpoint_best")
+        p_q = Predictor.from_checkpoint(tmp_path / "out", "checkpoint_best", quantize="int8")
+        acc_fp = float((p_fp.predict(va.images)[0][:, 0] == va.labels).mean()) * 100
+        acc_q = float((p_q.predict(va.images)[0][:, 0] == va.labels).mean()) * 100
+        assert acc_q >= acc_fp - 2.0, f"int8 top-1 {acc_q:.1f}% vs fp {acc_fp:.1f}%"
