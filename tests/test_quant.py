@@ -171,6 +171,28 @@ class TestPredictorInt8:
             p1.predict_probs(imgs), p8.predict_probs(imgs), atol=2e-3
         )
 
+    def test_data_parallel_flash_kernels_int8(self, tmp_path):
+        """int8 + flash kernels + data parallelism together: quantized linears
+        are GSPMD-partitioned while the (bf16) attention kernel is shard_mapped
+        over the Predictor mesh — must match the single-device int8 XLA path.
+        Generic interpreter for the kernels (tests/kernel_force.py)."""
+        import dataclasses
+
+        from tests.kernel_force import force_on_tpu, generic_interpret_mode
+
+        cfg = small_config(tmp_path)
+        cfg_flash = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, flash_attn=True)
+        )
+        ref = Predictor.from_config(cfg, compute_dtype=None, quantize="int8")
+        imgs = np.random.RandomState(7).randint(0, 256, (8, 3, 16, 16), dtype=np.uint8)
+        with force_on_tpu(), generic_interpret_mode():
+            dp = Predictor(
+                ref.params, cfg_flash.model, compute_dtype=None, data_parallel=True
+            )
+            got = dp.predict_probs(imgs)
+        np.testing.assert_allclose(got, ref.predict_probs(imgs), rtol=1e-3, atol=1e-4)
+
     def test_unknown_mode_raises(self, tmp_path):
         with pytest.raises(ValueError, match="quantize"):
             Predictor.from_config(small_config(tmp_path), quantize="int4")
