@@ -60,6 +60,15 @@ run-profiles *ARGS:
 debug:
     python -m nvit_tpu.debug
 
+# HTTP serving over a trained checkpoint (beyond-parity surface; pass
+# --int8 for w8a8 quantized serving, --export to load a deploy artifact).
+serve *ARGS:
+    python -m nvit_tpu.serve {{ARGS}}
+
+# Params-only deploy artifact (--dtype bfloat16|float32|int8).
+export *ARGS:
+    python -m nvit_tpu.ckpt.export {{ARGS}}
+
 # Real-dataset accuracy-parity matrix: runs the CIFAR-100 3-profile matrix
 # and/or the ImageNet nViT-B/16 run the moment a dataset is staged in ./data
 # (zero-egress container: exits 2 with staging instructions if none found).
