@@ -36,3 +36,22 @@ for name in nvit0_k0 nvit1_k0 nvit1_k1; do
     python -c "import sys, json; print(max(json.loads(l)['val/top1_accuracy'] for l in sys.stdin))")
   echo "$name: best val top-1 = $best %"
 done
+
+echo "=== int8 serving accuracy (checkpoint_best, fp vs w8a8 Predictor) ==="
+for name in nvit0_k0 nvit1_k0 nvit1_k1; do
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH="$PWD" OUTDIR="$OUT/$name/out" NAME="$name" \
+  python - <<'EOF'
+import os
+import numpy as np
+from nvit_tpu.data.datasets import load_digits_dataset
+from nvit_tpu.infer import Predictor
+
+va = load_digits_dataset(train=False, image_size=16)
+out = os.environ["OUTDIR"]
+acc = {}
+for mode in (None, "int8"):
+    p = Predictor.from_checkpoint(out, "checkpoint_best", quantize=mode)
+    acc[mode or "fp"] = float((p.predict(va.images)[0][:, 0] == va.labels).mean()) * 100
+print(f"{os.environ['NAME']}: held-out top-1 fp={acc['fp']:.2f}% int8={acc['int8']:.2f}%")
+EOF
+done
