@@ -172,14 +172,20 @@ def main(argv=None) -> None:
                     help="shard prediction batches over all attached devices (multi-chip hosts)")
     ap.add_argument("--int8", action="store_true",
                     help="int8-quantize the model for serving (w8a8, ops/quant.py)")
+    ap.add_argument("--aot", action="store_true",
+                    help="load an AOT StableHLO artifact (ckpt.aot) — no model tracing; "
+                         "--int8/--data-parallel are baked in at export time")
     args = ap.parse_args(argv)
 
-    load = Predictor.from_export if args.export else Predictor.from_checkpoint
-    service = InferenceService(
-        load(args.checkpoint, args.name, data_parallel=args.data_parallel,
-             quantize="int8" if args.int8 else None),
-        max_batch=args.max_batch,
-    )
+    if args.aot:
+        from nvit_tpu.ckpt.aot import load_aot
+
+        predictor = load_aot(args.checkpoint, args.name)
+    else:
+        load = Predictor.from_export if args.export else Predictor.from_checkpoint
+        predictor = load(args.checkpoint, args.name, data_parallel=args.data_parallel,
+                         quantize="int8" if args.int8 else None)
+    service = InferenceService(predictor, max_batch=args.max_batch)
     service.warmup()
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving {args.checkpoint}/{args.name} on http://{args.host}:{args.port}", flush=True)
