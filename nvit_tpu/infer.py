@@ -27,6 +27,13 @@ from nvit_tpu.data.augment import normalize
 from nvit_tpu.models.vit import vit_apply
 
 
+def topk_from_probs(probs: np.ndarray, top_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """probs [B, C] → (top-k class indices [B, k], probabilities [B, k]) —
+    shared by Predictor and ckpt.aot.AotPredictor."""
+    idx = np.argsort(-probs, axis=-1)[:, :top_k]
+    return idx, np.take_along_axis(probs, idx, axis=-1)
+
+
 class Predictor:
     def __init__(
         self, params, model_cfg: ViTConfig, *, compute_dtype=jnp.bfloat16,
@@ -59,6 +66,10 @@ class Predictor:
             params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
         else:
             self._in_sharding = None
+            # device-put ONCE: checkpoint/export loaders return host numpy
+            # leaves, and numpy args to a jitted call re-transfer on EVERY
+            # call — through a slow host link that dwarfs the forward itself
+            params = jax.tree_util.tree_map(jnp.asarray, params)
         self.params = params
 
         def forward(p, images_u8: Array) -> Array:
@@ -113,6 +124,4 @@ class Predictor:
 
     def predict(self, images_u8, top_k: int = 1) -> tuple[np.ndarray, np.ndarray]:
         """→ (top-k class indices [B, k], probabilities [B, k])."""
-        probs = self.predict_probs(images_u8)
-        idx = np.argsort(-probs, axis=-1)[:, :top_k]
-        return idx, np.take_along_axis(probs, idx, axis=-1)
+        return topk_from_probs(self.predict_probs(images_u8), top_k)

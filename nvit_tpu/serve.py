@@ -64,7 +64,10 @@ class InferenceService:
 
     def __init__(self, predictor: Predictor, *, max_batch: int = 64):
         self.predictor = predictor
-        self.max_batch = max_batch
+        # a concrete-batch AOT artifact accepts exactly one batch size —
+        # every request is padded up to it and it caps the accepted batch
+        self._pinned = getattr(predictor, "pinned_batch", None)
+        self.max_batch = self._pinned if self._pinned else max_batch
         self._lock = threading.Lock()
         c = predictor.cfg
         self.model_info = {
@@ -110,7 +113,14 @@ class InferenceService:
         return np.rint(images).astype(np.uint8), top_k
 
     def predict(self, images: np.ndarray, top_k: int = 1) -> dict:
-        padded, b = _pad_batch(images, self.max_batch)
+        if self._pinned:
+            b = images.shape[0]
+            if b > self._pinned:
+                raise ValueError(f"batch {b} exceeds the artifact's pinned batch {self._pinned}")
+            pad = np.zeros((self._pinned - b, *images.shape[1:]), dtype=images.dtype)
+            padded = np.concatenate([images, pad], axis=0) if b < self._pinned else images
+        else:
+            padded, b = _pad_batch(images, self.max_batch)
         with self._lock:
             labels, probs = self.predictor.predict(padded, top_k=top_k)
         return {"labels": labels[:b].tolist(), "probs": probs[:b].tolist()}
@@ -178,6 +188,11 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     if args.aot:
+        if args.int8 or args.data_parallel or args.export:
+            # fail fast: these are export-time properties of an AOT artifact —
+            # accepting them here would silently serve something else
+            ap.error("--aot is exclusive: bake --int8 into the artifact via "
+                     "ckpt.aot, and --export/--data-parallel do not apply")
         from nvit_tpu.ckpt.aot import load_aot
 
         predictor = load_aot(args.checkpoint, args.name)

@@ -47,7 +47,7 @@ def main() -> None:
 
     for batch in (32, 128, 256):
         imgs = np.random.default_rng(0).integers(
-            0, 255, (batch, 3, cfg.model.image_size, cfg.model.image_size), dtype=np.uint8
+            0, 256, (batch, 3, cfg.model.image_size, cfg.model.image_size), dtype=np.uint8
         )
         dimgs = jax.device_put(jnp.asarray(imgs))
         t_fp = timed(pred_fp, dimgs)

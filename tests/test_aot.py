@@ -88,6 +88,64 @@ class TestAot:
         resp = svc.predict(imgs, top_k=2)
         assert np.asarray(resp["labels"]).shape == (2, 2)
 
+    def test_symbolic_export_swaps_flash_for_xla(self, ckpt, tmp_path):
+        """A symbolic batch cannot parameterize a Pallas launch grid, so
+        symbolic exports must lower the XLA attention path even when the
+        checkpoint config says flash_attn=true — and still match numerically
+        (the paths are parity-tested)."""
+        import dataclasses
+
+        out, cfg = ckpt
+        flash_cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, flash_attn=True)
+        )
+        from nvit_tpu.ckpt.checkpoint import save_checkpoint
+        from nvit_tpu.train.state import create_train_state
+
+        out2 = tmp_path / "fl"
+        out2.mkdir()
+        save_checkpoint(out2, "checkpoint_best", create_train_state(flash_cfg), flash_cfg,
+                        metrics={"val/loss": 1.0})
+        export_aot(out2, "checkpoint_best", tmp_path / "flx")
+        meta = json.loads((tmp_path / "flx" / "checkpoint_best.aot.json").read_text())
+        assert meta["attention"] == "xla" and meta["batch"] is None
+        aot = load_aot(tmp_path / "flx", "checkpoint_best")
+        imgs = np.random.RandomState(3).randint(0, 256, (2, 3, 16, 16), dtype=np.uint8)
+        assert aot.predict_probs(imgs).shape == (2, 10)
+
+    def test_concrete_batch_export(self, ckpt, tmp_path):
+        out, _ = ckpt
+        export_aot(out, "checkpoint_best", tmp_path / "cb", batch=4)
+        meta = json.loads((tmp_path / "cb" / "checkpoint_best.aot.json").read_text())
+        assert meta["batch"] == 4
+        aot = load_aot(tmp_path / "cb", "checkpoint_best")
+        imgs = np.random.RandomState(4).randint(0, 256, (4, 3, 16, 16), dtype=np.uint8)
+        assert aot.predict_probs(imgs).shape == (4, 10)
+        with pytest.raises(Exception):  # pinned batch: other sizes are rejected
+            aot.predict_probs(imgs[:2])
+
+    def test_pinned_batch_service(self, ckpt, tmp_path):
+        """A concrete-batch artifact behind InferenceService: requests pad up
+        to the pinned batch; oversize is rejected with a clear error."""
+        from nvit_tpu.serve import InferenceService
+
+        out, _ = ckpt
+        export_aot(out, "checkpoint_best", tmp_path / "pb", batch=4)
+        svc = InferenceService(load_aot(tmp_path / "pb", "checkpoint_best"), max_batch=64)
+        assert svc.max_batch == 4
+        svc.warmup()
+        imgs = np.random.RandomState(5).randint(0, 256, (3, 3, 16, 16), dtype=np.uint8)
+        resp = svc.predict(imgs, top_k=1)
+        assert np.asarray(resp["labels"]).shape == (3, 1)
+        with pytest.raises(ValueError, match="pinned batch"):
+            svc.predict(np.zeros((5, 3, 16, 16), dtype=np.uint8))
+
+    def test_serve_rejects_aot_flag_conflicts(self):
+        from nvit_tpu.serve import main as serve_main
+
+        with pytest.raises(SystemExit):
+            serve_main(["--checkpoint", "x", "--aot", "--int8"])
+
     def test_cli(self, ckpt, tmp_path, capsys):
         from nvit_tpu.ckpt.aot import main
 
