@@ -115,17 +115,28 @@ def _maybe_quantize(p: Params, keys: tuple[str, ...]) -> Params:
     return out
 
 
+def _quantize_tree(params: Params) -> Params:
+    out = _maybe_quantize(params, _TOP_LINEARS)
+    out["cross_attention"] = _maybe_quantize(params["cross_attention"], _CROSS_LINEARS)
+    out["blocks"] = [_maybe_quantize(bp, _BLOCK_LINEARS) for bp in params["blocks"]]
+    return out
+
+
+_quantize_tree_jit = jax.jit(_quantize_tree)
+
+
 def quantize_vit_params(params: Params) -> Params:
     """Quantize every linear in a ViT/nViT parameter tree to int8.
 
     Non-matmul parameters (norms, scale vectors, position embeddings, SOM
     codebooks, ``sz``) stay full precision — they are elementwise/VPU work
     with no int8 win and carry the model's learned geometry.
+
+    Runs as ONE jitted program: the eager form is dozens of tiny ops, each a
+    separately-compiled program — pathological through a remote-compile
+    backend (minutes per program over the axon tunnel).
     """
-    out = _maybe_quantize(params, _TOP_LINEARS)
-    out["cross_attention"] = _maybe_quantize(params["cross_attention"], _CROSS_LINEARS)
-    out["blocks"] = [_maybe_quantize(bp, _BLOCK_LINEARS) for bp in params["blocks"]]
-    return out
+    return _quantize_tree_jit(params)
 
 
 def quantized_size_bytes(params: Params) -> int:
