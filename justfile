@@ -69,6 +69,13 @@ serve *ARGS:
 export *ARGS:
     python -m nvit_tpu.ckpt.export {{ARGS}}
 
+# Migrate checkpoints across frameworks: `import --pt ref.pt --dest out/`
+# brings a reference torch checkpoint here (resumable); `export --checkpoint
+# out --name checkpoint_best --dest back.pt` produces a strict-loadable
+# reference-format .pt from a model trained here.
+torch-interop *ARGS:
+    python -m nvit_tpu.ckpt.torch_interop {{ARGS}}
+
 # Real-dataset accuracy-parity matrix: runs the CIFAR-100 3-profile matrix
 # and/or the ImageNet nViT-B/16 run the moment a dataset is staged in ./data
 # (zero-egress container: exits 2 with staging instructions if none found).

@@ -1,0 +1,463 @@
+"""Torch-checkpoint interop: migrate reference checkpoints in, export ours out.
+
+≙ /root/reference/nvit/train.py:629-709 (checkpoint dict layout) and
+model.py:278-356 (state_dict key layout).  A user of the reference can bring
+an existing ``checkpoint_{latest,best}.pt`` here and continue training
+(``import``), or take a model trained here back to the torch reference as a
+strict-loadable ``state_dict`` (``export``):
+
+    python -m nvit_tpu.ckpt.torch_interop import  --pt out/checkpoint_best.pt --dest out_tpu
+    python -m nvit_tpu.ckpt.torch_interop export --checkpoint out_tpu --name checkpoint_best \
+        --dest out/checkpoint_from_tpu.pt
+
+The tensor mapping is the same one the cross-framework golden-parity suite
+validates leaf-by-leaf against torch autograd (tests/test_reference_parity.py
+imports these functions), so import/export round-trips are exact:
+
+* torch ``nn.Linear`` weights are ``[out, in]``; ours are ``[in, out]``
+  (``y = x @ w``) — transposed both ways.
+* the local patch embed is a ``Conv2d(C, d, k=p, s=p)``; ours is a matmul over
+  space-to-depth patches whose ``(C, ph, pw)`` fan-in order equals the torch
+  flattened kernel — ``reshape(d, -1).T``.
+* the global patch embed is a ``Conv2d(C, d, k=16, s=8)`` over a reflection
+  pad; ours is a matmul over 2×2-block-major overlapping patches
+  (models/patch.py) — a fixed row permutation of the torch kernel fan-in.
+* reference-quirk keys are reconciled: nViT-mode reference blocks construct
+  (but never use) ``rmsnorm_att/mlp`` — import ignores them, export emits
+  unit weights so ``load_state_dict(strict=True)`` succeeds; baseline-mode
+  reference blocks do NOT construct them (the upstream crash bug, PARITY.md)
+  while ours do — export drops ours with a warning.
+* Kohonen ``locations``/``offsets`` buffers are deterministic grid geometry —
+  recomputed on export, ignored on import.
+
+No torch import happens at module import time: the pure-numpy mapping is
+usable without torch; only the ``.pt`` read/write helpers require it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Mapping
+
+import numpy as np
+
+from nvit_tpu.configs.schema import Config, ViTConfig, merge_dataclass
+
+logger = logging.getLogger(__name__)
+
+# Reference ViTConfig field names (model.py:13-40) — the model_args contract.
+REFERENCE_MODEL_ARGS = (
+    "image_size", "n_layer", "n_head", "n_embd", "base_scale", "use_nvit",
+    "flash_attn", "sz_init_value", "sz_init_scaling", "dropout", "bias",
+    "channels", "num_classes", "local_patch_size", "global_patch_size",
+    "kohonen_nodes", "kohonen_alpha", "use_kohonen", "reconstruction_weight",
+    "map_balance_weight", "kohonen_scheduler_enabled",
+    "kohonen_scheduler_warmup_steps", "kohonen_scheduler_decay_steps",
+    "kohonen_scheduler_min_lr", "local_quantization_weight",
+    "global_quantization_weight",
+)
+
+
+def _np(t: Any) -> np.ndarray:
+    """Tensor-or-array → detached fp-preserving numpy COPY (a torch tensor
+    mutated in place afterwards must not alias the mapped tree)."""
+    if hasattr(t, "detach"):  # torch.Tensor without importing torch
+        t = t.detach().cpu().numpy()
+    return np.array(t)
+
+
+def global_embed_permutation(channels: int, kernel: int, stride: int) -> np.ndarray:
+    """Row permutation mapping a torch conv's flattened ``(C, kh, kw)`` fan-in
+    onto extract_overlapping_patches' 2×2-block-major ``(blk, C, ph, pw)``
+    layout (models/patch.py).  ``perm[our_row] = torch_flat_index``."""
+    s = stride
+    perm = np.empty(channels * kernel * kernel, dtype=np.int64)
+    for i in range(2):
+        for j in range(2):
+            blk = 2 * i + j
+            for c in range(channels):
+                for ph in range(s):
+                    for pw in range(s):
+                        our = ((blk * channels + c) * s + ph) * s + pw
+                        perm[our] = c * kernel * kernel + (i * s + ph) * kernel + (j * s + pw)
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# torch state_dict → nvit_tpu parameter tree
+# ---------------------------------------------------------------------------
+
+
+def _map_linear(sd: Mapping[str, Any], prefix: str) -> dict:
+    p = {"w": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _map_block(sd: Mapping[str, Any], prefix: str, use_nvit: bool) -> dict:
+    p = {
+        name: _map_linear(sd, f"{prefix}.{name}")
+        for name in ("query", "key", "value", "att_c_proj", "c_fc", "mlp_c_proj")
+    }
+    p["skip_param"] = _np(sd[f"{prefix}.skip_param"])
+    if use_nvit:
+        for name in ("attn_alpha", "mlp_alpha", "sqk", "suv"):
+            p[name] = _np(sd[f"{prefix}.{name}"])
+        # reference nViT blocks also carry rmsnorm_att/mlp weights it never
+        # uses (model.py:63-65 vs 95-96) — deliberately not mapped
+    else:
+        # the reference never constructs these in baseline mode (its crash
+        # bug); our working baseline blocks need unit weights
+        d = p["query"]["w"].shape[0]
+        p["rmsnorm_att"] = np.ones((d,), dtype=np.float32)
+        p["rmsnorm_mlp"] = np.ones((d,), dtype=np.float32)
+    return p
+
+
+def _map_cross_attention(sd: Mapping[str, Any], prefix: str, use_nvit: bool) -> dict:
+    p = {
+        name: _map_linear(sd, f"{prefix}.{name}")
+        for name in ("q_local", "k_global", "v_global", "proj", "out_proj")
+    }
+    if use_nvit:
+        p["attn_alpha"] = _np(sd[f"{prefix}.attn_alpha"])
+        p["sqk"] = _np(sd[f"{prefix}.sqk"])
+    else:
+        p["local_norm"] = _np(sd[f"{prefix}.local_norm.weight"])
+        p["global_norm"] = _np(sd[f"{prefix}.global_norm.weight"])
+    return p
+
+
+def params_from_state_dict(sd: Mapping[str, Any], cfg: ViTConfig) -> dict:
+    """Full torch ViT ``state_dict`` → nvit_tpu parameter tree (numpy leaves).
+
+    ``sd`` values may be torch tensors or numpy arrays; the same key layout the
+    reference's ``ViT.state_dict()`` produces (model.py:278-356) is expected.
+    Also used by tests/test_reference_parity.py to push torch GRADIENTS through
+    the identical axis transforms.
+    """
+    d = cfg.n_embd
+
+    lw = _np(sd["local_patch_embed.weight"])  # [d, C, p, p]
+    local_embed = {
+        "w": lw.reshape(d, -1).T,
+        "b": _np(sd["local_patch_embed.bias"]),
+    }
+
+    gw = _np(sd["global_patch_embed.1.weight"]).reshape(d, -1)  # [d, C*k*k]
+    perm = global_embed_permutation(cfg.channels, cfg.global_patch_size, cfg.local_patch_size)
+    global_embed = {"w": gw[:, perm].T, "b": _np(sd["global_patch_embed.1.bias"])}
+
+    params = {
+        "local_patch_embed": local_embed,
+        "global_patch_embed": global_embed,
+        "local_pos_embed": _np(sd["local_pos_embed"]),
+        "global_pos_embed": _np(sd["global_pos_embed"]),
+        "cross_attention": _map_cross_attention(sd, "cross_attention", cfg.use_nvit),
+        "reconstruction_head": _map_linear(sd, "reconstruction_head.0"),
+        "blocks": [
+            _map_block(sd, f"transformer.h.{i}", cfg.use_nvit) for i in range(cfg.n_layer)
+        ],
+        "head_norm": {"w": _np(sd["mlp_head.0.weight"]), "b": _np(sd["mlp_head.0.bias"])},
+        "head": _map_linear(sd, "mlp_head.1"),
+    }
+    if cfg.use_kohonen:
+        params["local_kohonen"] = {"nodes": _np(sd["local_kohonen.nodes"])}
+        params["global_kohonen"] = {"nodes": _np(sd["global_kohonen.nodes"])}
+        params["map_balance"] = _np(sd["map_balance"])
+    if cfg.use_nvit:
+        params["sz"] = _np(sd["sz"])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# nvit_tpu parameter tree → torch state_dict
+# ---------------------------------------------------------------------------
+
+
+def _unmap_linear(p: Mapping[str, Any], prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = _np(p["w"]).T
+    if "b" in p:
+        out[f"{prefix}.bias"] = _np(p["b"])
+
+
+def _som_grid_buffers(num_nodes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic KohonenMap buffers (≙ kohonen.py:52-78): roughly-square
+    grid locations and the 8 periodic wrap offsets."""
+    m = int(num_nodes**0.5)
+    n = num_nodes // m
+    locs = np.array([[i, j] for i in range(m) for j in range(n)], dtype=np.int64)
+    offsets = np.array(
+        [[-m, -n], [m, n], [-m, 0], [m, 0], [0, -n], [0, n], [-m, n], [m, -n]],
+        dtype=np.int64,
+    )
+    return locs, offsets
+
+
+def state_dict_from_params(params: Mapping[str, Any], cfg: ViTConfig) -> dict[str, np.ndarray]:
+    """nvit_tpu parameter tree → reference-layout ``state_dict`` (numpy).
+
+    The result loads into ``/root/reference/nvit/model.py::ViT(config)`` with
+    ``strict=True``: unused-but-constructed reference parameters (nViT
+    ``rmsnorm_att/mlp``) are emitted at their init values, and the
+    deterministic Kohonen ``locations``/``offsets`` buffers are recomputed.
+    Our baseline-mode ``rmsnorm_att/mlp`` weights have no reference slot (the
+    upstream baseline crash bug) and are dropped with a warning if they have
+    been trained away from init.
+    """
+    d = cfg.n_embd
+    sd: dict[str, np.ndarray] = {}
+
+    lw = _np(params["local_patch_embed"]["w"])  # [C*p*p, d]
+    sd["local_patch_embed.weight"] = lw.T.reshape(
+        d, cfg.channels, cfg.local_patch_size, cfg.local_patch_size
+    )
+    sd["local_patch_embed.bias"] = _np(params["local_patch_embed"]["b"])
+
+    perm = global_embed_permutation(cfg.channels, cfg.global_patch_size, cfg.local_patch_size)
+    inv = np.argsort(perm)
+    gw = _np(params["global_patch_embed"]["w"]).T  # [d, C*k*k] in OUR column order
+    sd["global_patch_embed.1.weight"] = gw[:, inv].reshape(
+        d, cfg.channels, cfg.global_patch_size, cfg.global_patch_size
+    )
+    sd["global_patch_embed.1.bias"] = _np(params["global_patch_embed"]["b"])
+
+    sd["local_pos_embed"] = _np(params["local_pos_embed"])
+    sd["global_pos_embed"] = _np(params["global_pos_embed"])
+
+    ca = params["cross_attention"]
+    for name in ("q_local", "k_global", "v_global", "proj", "out_proj"):
+        _unmap_linear(ca[name], f"cross_attention.{name}", sd)
+    if cfg.use_nvit:
+        sd["cross_attention.attn_alpha"] = _np(ca["attn_alpha"])
+        sd["cross_attention.sqk"] = _np(ca["sqk"])
+    else:
+        sd["cross_attention.local_norm.weight"] = _np(ca["local_norm"])
+        sd["cross_attention.global_norm.weight"] = _np(ca["global_norm"])
+
+    _unmap_linear(params["reconstruction_head"], "reconstruction_head.0", sd)
+
+    for i, blk in enumerate(params["blocks"]):
+        prefix = f"transformer.h.{i}"
+        for name in ("query", "key", "value", "att_c_proj", "c_fc", "mlp_c_proj"):
+            _unmap_linear(blk[name], f"{prefix}.{name}", sd)
+        sd[f"{prefix}.skip_param"] = _np(blk["skip_param"])
+        if cfg.use_nvit:
+            for name in ("attn_alpha", "mlp_alpha", "sqk", "suv"):
+                sd[f"{prefix}.{name}"] = _np(blk[name])
+            # constructed-but-unused in the reference (model.py:63-65):
+            # strict load demands them; init value is ones
+            sd[f"{prefix}.rmsnorm_att.weight"] = np.ones((d,), dtype=np.float32)
+            sd[f"{prefix}.rmsnorm_mlp.weight"] = np.ones((d,), dtype=np.float32)
+        else:
+            for name in ("rmsnorm_att", "rmsnorm_mlp"):
+                w = _np(blk[name])
+                if not np.allclose(w, 1.0):
+                    logger.warning(
+                        "dropping trained %s.%s (reference baseline blocks do "
+                        "not construct RMSNorms — upstream bug, PARITY.md)",
+                        prefix, name,
+                    )
+
+    sd["mlp_head.0.weight"] = _np(params["head_norm"]["w"])
+    sd["mlp_head.0.bias"] = _np(params["head_norm"]["b"])
+    _unmap_linear(params["head"], "mlp_head.1", sd)
+
+    if cfg.use_kohonen:
+        for stream in ("local", "global"):
+            nodes = _np(params[f"{stream}_kohonen"]["nodes"])
+            sd[f"{stream}_kohonen.nodes"] = nodes
+            locs, offsets = _som_grid_buffers(cfg.kohonen_nodes // 2)
+            sd[f"{stream}_kohonen.locations"] = locs
+            sd[f"{stream}_kohonen.offsets"] = offsets
+        sd["map_balance"] = _np(params["map_balance"])
+    if cfg.use_nvit:
+        sd["sz"] = _np(params["sz"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# config mapping
+# ---------------------------------------------------------------------------
+
+
+def vit_config_from_model_args(model_args: Mapping[str, Any]) -> ViTConfig:
+    """Reference ``model_args`` (asdict of its ViTConfig, train.py:643) →
+    our ViTConfig.  Unknown keys are ignored (ours is a superset; theirs may
+    gain fields)."""
+    ours = {f.name for f in dataclasses.fields(ViTConfig)}
+    known = {k: v for k, v in model_args.items() if k in ours}
+    dropped = sorted(set(model_args) - set(known))
+    if dropped:
+        logger.info("ignoring unknown model_args keys: %s", dropped)
+    return merge_dataclass(ViTConfig(), known)
+
+
+def model_args_from_config(cfg: ViTConfig) -> dict[str, Any]:
+    """Our ViTConfig → reference ``model_args`` dict (exactly the reference's
+    field set, so ``ref.ViTConfig(**model_args)`` constructs)."""
+    return {name: getattr(cfg, name) for name in REFERENCE_MODEL_ARGS}
+
+
+def _lenient_merge(obj: Any, overrides: Mapping[str, Any]) -> Any:
+    """merge_dataclass, but unknown keys/sections are dropped with a log line
+    instead of raising — reference settings dicts may carry torch-only keys
+    (system.backend etc.) that have no slot here."""
+    fields = {f.name for f in dataclasses.fields(obj)}
+    kept: dict[str, Any] = {}
+    for key, value in overrides.items():
+        lk = key.lower()
+        if lk not in fields:
+            logger.info("ignoring unknown config key '%s'", key)
+            continue
+        current = getattr(obj, lk)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kept[lk] = dataclasses.asdict(_lenient_merge(current, value))
+        else:
+            kept[lk] = value
+    return merge_dataclass(obj, kept)
+
+
+def config_from_reference_checkpoint(ckpt: Mapping[str, Any]) -> Config:
+    """Rebuild a full Config from a reference checkpoint dict: the stored
+    settings tree (lenient — torch-only keys dropped) with ``model_args``
+    taking precedence for the model section (≙ our resume rule: the
+    checkpoint's model config wins)."""
+    cfg = Config()
+    settings = ckpt.get("config")
+    if isinstance(settings, Mapping):
+        cfg = _lenient_merge(cfg, {k: v for k, v in settings.items()})
+    model_args = ckpt.get("model_args")
+    if isinstance(model_args, Mapping):
+        cfg = dataclasses.replace(cfg, model=vit_config_from_model_args(model_args))
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# CLI entry points (torch required here)
+# ---------------------------------------------------------------------------
+
+
+def import_torch_checkpoint(
+    pt_path: str | Path,
+    dest: str | Path,
+    name: str = "checkpoint_latest",
+    seed: int = 0,
+) -> Path:
+    """Reference ``.pt`` checkpoint → resumable nvit_tpu checkpoint.
+
+    Accepts the full reference checkpoint dict (train.py:640-650) or a bare
+    ``state_dict``+explicit config is NOT supported — the dict carries the
+    model_args needed to interpret the tensors.  Optimizer moments are not
+    migrated (torch indexes them by param-group position; a fresh-AdamW warmup
+    of a few hundred steps re-estimates them), the step counter and metrics
+    are.  The result resumes with ``init_from: resume``.
+    """
+    import torch  # local: the numpy mapping above must not require torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from nvit_tpu.ckpt.checkpoint import save_checkpoint
+    from nvit_tpu.train.optim import init_fused_adamw
+    from nvit_tpu.train.state import TrainState
+
+    # trusted local artifact: the reference dict contains plain python/numpy
+    # objects (settings tree, numpy RNG state) that weights_only rejects
+    ckpt = torch.load(str(pt_path), map_location="cpu", weights_only=False)
+    if "model" not in ckpt or "model_args" not in ckpt:
+        raise ValueError(
+            f"{pt_path} is not a reference trainer checkpoint "
+            "(expected keys 'model' and 'model_args', train.py:640-650)"
+        )
+    cfg = config_from_reference_checkpoint(ckpt)
+    sd = {k: _np(v) for k, v in ckpt["model"].items()}
+    params = jax.tree_util.tree_map(jnp.asarray, params_from_state_dict(sd, cfg.model))
+    state = TrainState(
+        params=params,
+        opt_state=init_fused_adamw(params),
+        step=jnp.asarray(int(ckpt.get("iter_num", 0)), dtype=jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+    metrics = {
+        k: float(v)
+        for k, v in (ckpt.get("metrics") or {}).items()
+        if isinstance(v, (int, float))
+    }
+    trainer_state = {}
+    if "val/loss" in metrics:
+        # seed the relaunch protocol so the first eval here can't overwrite
+        # checkpoint_best with a worse model than the imported one
+        trainer_state["best_val_loss"] = metrics["val/loss"]
+    path = save_checkpoint(dest, name, state, cfg, metrics, trainer_state)
+    logger.info("imported %s → %s (iter %d)", pt_path, path, int(state.step))
+    return path
+
+
+def export_torch_checkpoint(
+    checkpoint_dir: str | Path,
+    name: str,
+    dest: str | Path,
+) -> Path:
+    """nvit_tpu checkpoint → reference-format ``.pt``.
+
+    The output dict mirrors train.py:640-650 (``model`` state_dict,
+    ``model_args``, ``iter_num``, ``metrics``, ``config``, timestamp); the
+    ``state_dict`` loads into the reference ``ViT`` with ``strict=True``.
+    """
+    import torch
+
+    from nvit_tpu.ckpt.checkpoint import restore_for_resume
+
+    state, cfg, meta = restore_for_resume(checkpoint_dir, name)
+    sd_np = state_dict_from_params(state.params, cfg.model)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    out = {
+        "model": sd,
+        "model_args": model_args_from_config(cfg.model),
+        "iter_num": int(state.step),
+        "metrics": meta.get("metrics", {}),
+        "config": cfg.to_dict(),
+        "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
+        "format": "nvit_tpu.torch_interop.v1",
+    }
+    dest = Path(dest)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    torch.save(out, dest)
+    logger.info("exported %s/%s → %s (iter %d)", checkpoint_dir, name, dest, int(state.step))
+    return dest
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m nvit_tpu.ckpt.torch_interop", description=__doc__
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_imp = sub.add_parser("import", help="reference .pt → resumable nvit_tpu checkpoint")
+    p_imp.add_argument("--pt", required=True, help="path to reference checkpoint_*.pt")
+    p_imp.add_argument("--dest", required=True, help="output checkpoint directory")
+    p_imp.add_argument("--name", default="checkpoint_latest")
+    p_imp.add_argument("--seed", type=int, default=0)
+
+    p_exp = sub.add_parser("export", help="nvit_tpu checkpoint → reference-format .pt")
+    p_exp.add_argument("--checkpoint", required=True, help="nvit_tpu checkpoint directory")
+    p_exp.add_argument("--name", default="checkpoint_best")
+    p_exp.add_argument("--dest", required=True, help="output .pt path")
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    if args.cmd == "import":
+        import_torch_checkpoint(args.pt, args.dest, args.name, args.seed)
+    else:
+        export_torch_checkpoint(args.checkpoint, args.name, args.dest)
+
+
+if __name__ == "__main__":
+    main()

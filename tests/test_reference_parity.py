@@ -75,59 +75,28 @@ def t2j(t: torch.Tensor) -> jnp.ndarray:
     return jnp.asarray(np.array(t.detach().cpu().numpy()))
 
 
-def map_linear(sd, prefix: str) -> dict:
-    p = {"w": t2j(sd[f"{prefix}.weight"]).T}
-    if f"{prefix}.bias" in sd:
-        p["b"] = t2j(sd[f"{prefix}.bias"])
-    return p
+# The state_dict <-> param-tree mapping is SHIPPED code now
+# (nvit_tpu/ckpt/torch_interop.py powers the torch-checkpoint import/export
+# CLI); this suite validates that exact implementation leaf-by-leaf against
+# torch autograd.  The wrappers below just lift numpy leaves to jnp.
+from nvit_tpu.ckpt.torch_interop import (  # noqa: E402
+    _map_block,
+    _map_cross_attention,
+    global_embed_permutation,  # noqa: F401  (re-exported for other tests)
+    params_from_state_dict,
+)
+
+
+def _lift(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
 def map_block(sd, prefix: str, use_nvit: bool) -> dict:
-    p = {
-        name: map_linear(sd, f"{prefix}.{name}")
-        for name in ("query", "key", "value", "att_c_proj", "c_fc", "mlp_c_proj")
-    }
-    p["skip_param"] = t2j(sd[f"{prefix}.skip_param"])
-    if use_nvit:
-        for name in ("attn_alpha", "mlp_alpha", "sqk", "suv"):
-            p[name] = t2j(sd[f"{prefix}.{name}"])
-    else:
-        # the reference never constructs these in baseline mode (its bug);
-        # callers that need a baseline block supply unit weights
-        p["rmsnorm_att"] = jnp.ones_like(p["query"]["w"][:, 0])
-        p["rmsnorm_mlp"] = jnp.ones_like(p["query"]["w"][:, 0])
-    return p
+    return _lift(_map_block(sd, prefix, use_nvit))
 
 
 def map_cross_attention(sd, prefix: str, use_nvit: bool) -> dict:
-    p = {
-        name: map_linear(sd, f"{prefix}.{name}")
-        for name in ("q_local", "k_global", "v_global", "proj", "out_proj")
-    }
-    if use_nvit:
-        p["attn_alpha"] = t2j(sd[f"{prefix}.attn_alpha"])
-        p["sqk"] = t2j(sd[f"{prefix}.sqk"])
-    else:
-        p["local_norm"] = t2j(sd[f"{prefix}.local_norm.weight"])
-        p["global_norm"] = t2j(sd[f"{prefix}.global_norm.weight"])
-    return p
-
-
-def global_embed_permutation(channels: int, kernel: int, stride: int) -> np.ndarray:
-    """Row permutation mapping a torch conv's flattened (C, kh, kw) fan-in onto
-    extract_overlapping_patches' 2×2-block-major (blk, C, ph, pw) layout
-    (models/patch.py:39-63).  perm[our_row] = torch_flat_index."""
-    s = stride
-    perm = np.empty(channels * kernel * kernel, dtype=np.int64)
-    for i in range(2):
-        for j in range(2):
-            blk = 2 * i + j
-            for c in range(channels):
-                for ph in range(s):
-                    for pw in range(s):
-                        our = ((blk * channels + c) * s + ph) * s + pw
-                        perm[our] = c * kernel * kernel + (i * s + ph) * kernel + (j * s + pw)
-    return perm
+    return _lift(_map_cross_attention(sd, prefix, use_nvit))
 
 
 def map_vit_params(model: "ref_model.ViT", cfg: ViTConfig, sd: dict | None = None) -> dict:
@@ -136,35 +105,7 @@ def map_vit_params(model: "ref_model.ViT", cfg: ViTConfig, sd: dict | None = Non
     ``sd`` overrides the tensors to map (same key layout) — used to push the
     torch GRADIENTS through the identical axis transforms for grad parity."""
     sd = model.state_dict() if sd is None else sd
-    d = cfg.n_embd
-
-    lw = t2j(sd["local_patch_embed.weight"])  # [d, C, p, p]; (C,kh,kw) == space_to_depth layout
-    local_embed = {"w": lw.reshape(d, -1).T, "b": t2j(sd["local_patch_embed.bias"])}
-
-    gw = t2j(sd["global_patch_embed.1.weight"]).reshape(d, -1)  # [d, C*k*k]
-    perm = global_embed_permutation(cfg.channels, cfg.global_patch_size, cfg.local_patch_size)
-    global_embed = {"w": gw[:, perm].T, "b": t2j(sd["global_patch_embed.1.bias"])}
-
-    params = {
-        "local_patch_embed": local_embed,
-        "global_patch_embed": global_embed,
-        "local_pos_embed": t2j(sd["local_pos_embed"]),
-        "global_pos_embed": t2j(sd["global_pos_embed"]),
-        "cross_attention": map_cross_attention(sd, "cross_attention", cfg.use_nvit),
-        "reconstruction_head": map_linear(sd, "reconstruction_head.0"),
-        "blocks": [
-            map_block(sd, f"transformer.h.{i}", cfg.use_nvit) for i in range(cfg.n_layer)
-        ],
-        "head_norm": {"w": t2j(sd["mlp_head.0.weight"]), "b": t2j(sd["mlp_head.0.bias"])},
-        "head": map_linear(sd, "mlp_head.1"),
-    }
-    if cfg.use_kohonen:
-        params["local_kohonen"] = {"nodes": t2j(sd["local_kohonen.nodes"])}
-        params["global_kohonen"] = {"nodes": t2j(sd["global_kohonen.nodes"])}
-        params["map_balance"] = t2j(sd["map_balance"])
-    if cfg.use_nvit:
-        params["sz"] = t2j(sd["sz"])
-    return params
+    return _lift(params_from_state_dict(sd, cfg))
 
 
 def rand_img(b=2, c=3, s=16, seed=0) -> np.ndarray:
