@@ -338,6 +338,81 @@ def config_from_reference_checkpoint(ckpt: Mapping[str, Any]) -> Config:
 
 
 # ---------------------------------------------------------------------------
+# optimizer-moment migration
+# ---------------------------------------------------------------------------
+
+
+def _reference_param_order(model_sd: Mapping[str, Any], use_nvit: bool) -> list[str]:
+    """Reconstruct the flat parameter enumeration the reference's AdamW
+    state_dict indexes (model.py:369-385): param_groups are [decay(dim≥2),
+    no-decay(dim<2), (nViT) sz], each filtered from named_parameters order —
+    which equals state_dict key order once buffers are dropped."""
+    names = [k for k in model_sd if not k.endswith((".locations", ".offsets"))]
+    dims = {k: _np(model_sd[k]).ndim for k in names}
+    if use_nvit:
+        groups = [
+            [n for n in names if "sz" not in n and dims[n] >= 2],
+            [n for n in names if "sz" not in n and dims[n] < 2],
+            ["sz"],
+        ]
+    else:
+        groups = [
+            [n for n in names if dims[n] >= 2],
+            [n for n in names if dims[n] < 2],
+        ]
+    return [n for g in groups for n in g]
+
+
+def moment_trees_from_torch(
+    opt_sd: Mapping[str, Any], model_sd: Mapping[str, Any], cfg: ViTConfig
+) -> tuple[dict, dict, int] | None:
+    """torch AdamW ``optimizer.state_dict()`` → (mu, nu, count) matching our
+    FusedAdamWState layout, pushed through the SAME tensor transforms as the
+    weights (moments are per-element, so index maps apply unchanged).
+
+    Returns None (caller falls back to fresh moments) when the optimizer dict
+    is absent/foreign-shaped.  Params torch never stepped (the reference's
+    constructed-but-unused leaves get no grads, hence no state entry) start at
+    zero — exactly what fresh AdamW would hold for them.
+    """
+    if not isinstance(opt_sd, Mapping) or not opt_sd.get("param_groups"):
+        return None
+    order = _reference_param_order(model_sd, cfg.use_nvit)
+    indices = [i for g in opt_sd["param_groups"] for i in g.get("params", ())]
+    if len(indices) != len(order):
+        logger.warning(
+            "optimizer param count %d != model param count %d — "
+            "not a reference AdamW state, starting moments fresh",
+            len(indices), len(order),
+        )
+        return None
+    state = opt_sd.get("state", {})
+    mu_sd: dict[str, np.ndarray] = {}
+    nu_sd: dict[str, np.ndarray] = {}
+    steps = [0]
+    for idx, name in zip(indices, order):
+        ent = state.get(idx, state.get(str(idx)))
+        ref = _np(model_sd[name])
+        if ent is None:
+            mu_sd[name] = np.zeros(ref.shape, np.float32)
+            nu_sd[name] = np.zeros(ref.shape, np.float32)
+            continue
+        mu_sd[name] = _np(ent["exp_avg"]).astype(np.float32)
+        nu_sd[name] = _np(ent["exp_avg_sq"]).astype(np.float32)
+        steps.append(int(ent["step"]))
+    mu = params_from_state_dict(mu_sd, cfg)
+    nu = params_from_state_dict(nu_sd, cfg)
+    if not cfg.use_nvit:
+        # params_from_state_dict fills the reference-missing baseline RMSNorm
+        # weights with ones (correct for WEIGHTS); their moments start at zero
+        for tree in (mu, nu):
+            for blk in tree["blocks"]:
+                blk["rmsnorm_att"] = np.zeros_like(blk["rmsnorm_att"])
+                blk["rmsnorm_mlp"] = np.zeros_like(blk["rmsnorm_mlp"])
+    return mu, nu, max(steps)
+
+
+# ---------------------------------------------------------------------------
 # CLI entry points (torch required here)
 # ---------------------------------------------------------------------------
 
@@ -350,12 +425,13 @@ def import_torch_checkpoint(
 ) -> Path:
     """Reference ``.pt`` checkpoint → resumable nvit_tpu checkpoint.
 
-    Accepts the full reference checkpoint dict (train.py:640-650) or a bare
-    ``state_dict``+explicit config is NOT supported — the dict carries the
-    model_args needed to interpret the tensors.  Optimizer moments are not
-    migrated (torch indexes them by param-group position; a fresh-AdamW warmup
-    of a few hundred steps re-estimates them), the step counter and metrics
-    are.  The result resumes with ``init_from: resume``.
+    Accepts the full reference checkpoint dict (train.py:640-650); a bare
+    ``state_dict`` without model_args is rejected — the dict carries the
+    model_args needed to interpret the tensors.  AdamW moments migrate too
+    (the torch flat param enumeration is reconstructed from the reference's
+    param-group construction, then each moment tensor goes through the same
+    index maps as its weight); if the optimizer dict is absent or foreign,
+    moments start fresh with a warning.  Resumes with ``init_from: resume``.
     """
     import torch  # local: the numpy mapping above must not require torch
 
@@ -377,9 +453,22 @@ def import_torch_checkpoint(
     cfg = config_from_reference_checkpoint(ckpt)
     sd = {k: _np(v) for k, v in ckpt["model"].items()}
     params = jax.tree_util.tree_map(jnp.asarray, params_from_state_dict(sd, cfg.model))
+
+    opt_state = init_fused_adamw(params)
+    moments = moment_trees_from_torch(ckpt.get("optimizer") or {}, sd, cfg.model)
+    if moments is not None:
+        mu, nu, count = moments
+        lift = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+        opt_state = opt_state._replace(
+            mu=lift(mu), nu=lift(nu), count=jnp.asarray(count, jnp.int32)
+        )
+        logger.info("migrated AdamW moments (count=%d)", count)
+    else:
+        logger.warning("no usable optimizer state in %s — moments start fresh", pt_path)
+
     state = TrainState(
         params=params,
-        opt_state=init_fused_adamw(params),
+        opt_state=opt_state,
         step=jnp.asarray(int(ckpt.get("iter_num", 0)), dtype=jnp.int32),
         rng=jax.random.PRNGKey(seed),
     )

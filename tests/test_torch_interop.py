@@ -70,6 +70,9 @@ CASES = [
     dict(use_nvit=True, use_kohonen=True, bias=True),
     dict(use_nvit=True, use_kohonen=False, bias=False),
     dict(use_nvit=False, use_kohonen=True, bias=True),
+    # non-square per-map node count (24//2=12 → 3×4 grid) exercises the
+    # roughly-square grid geometry both sides compute (kohonen.py:52-54)
+    dict(use_nvit=True, use_kohonen=True, bias=True, kohonen_nodes=24),
 ]
 
 
@@ -194,6 +197,92 @@ def test_import_export_cli_end_to_end(tmp_path):
         )
     # reference forward agrees between original and round-tripped weights
     ref_model.ViTConfig(**back["model_args"])  # constructs
+
+
+def _stepped_reference_optimizer(model, steps=3, lr=1e-3, skip=()):
+    """Real torch AdamW stepped with synthetic grads (params named in ``skip``
+    get none — mirroring the reference's constructed-but-unused leaves)."""
+    opt = model.configure_optimizers(0.1, lr, (0.9, 0.95), "cpu")
+    g = torch.Generator().manual_seed(9)
+    for _ in range(steps):
+        for name, p in model.named_parameters():
+            if any(s in name for s in skip):
+                p.grad = None
+            else:
+                p.grad = torch.randn(p.shape, generator=g)
+        opt.step()
+    return opt
+
+
+@pytest.mark.parametrize("use_nvit", [True, False])
+def test_moment_migration(use_nvit):
+    """AdamW moments ride the same index maps as the weights; unused-param
+    slots (reference rmsnorm/map_balance get no grads → no torch state, and
+    our baseline RMSNorms have no torch slot) start at zero."""
+    from nvit_tpu.ckpt.torch_interop import moment_trees_from_torch
+
+    cfg = make_cfg(use_nvit=use_nvit)
+    model = ref_vit(cfg)
+    skip = ("rmsnorm", "map_balance") if use_nvit else ("map_balance",)
+    opt = _stepped_reference_optimizer(model, steps=3, skip=skip)
+    out = moment_trees_from_torch(opt.state_dict(), model.state_dict(), cfg)
+    assert out is not None
+    mu, nu, count = out
+    assert count == 3
+
+    # reverse-lookup: which flat index does query.weight of block 0 hold?
+    state = opt.state_dict()["state"]
+    order = [
+        n for n, _ in model.named_parameters()
+    ]  # named order == state_dict param order
+    from nvit_tpu.ckpt.torch_interop import _reference_param_order
+
+    flat = _reference_param_order(model.state_dict(), cfg.use_nvit)
+    assert set(flat) == set(order)
+    idx = flat.index("transformer.h.0.query.weight")
+    np.testing.assert_array_equal(
+        mu["blocks"][0]["query"]["w"], state[idx]["exp_avg"].numpy().T
+    )
+    np.testing.assert_array_equal(
+        nu["blocks"][0]["query"]["w"], state[idx]["exp_avg_sq"].numpy().T
+    )
+    # per-element transforms: the global patch embed goes through the fan-in
+    # permutation, so its moment tree must too (spot-check via round-trip)
+    from nvit_tpu.ckpt.torch_interop import global_embed_permutation
+
+    perm = global_embed_permutation(cfg.channels, cfg.global_patch_size, cfg.local_patch_size)
+    gidx = flat.index("global_patch_embed.1.weight")
+    gm = state[gidx]["exp_avg"].numpy().reshape(cfg.n_embd, -1)
+    np.testing.assert_array_equal(mu["global_patch_embed"]["w"], gm[:, perm].T)
+    if use_nvit:
+        assert np.all(mu["map_balance"] == 0) and np.all(nu["map_balance"] == 0)
+    else:
+        assert np.all(mu["blocks"][0]["rmsnorm_att"] == 0)
+        assert np.all(nu["blocks"][1]["rmsnorm_mlp"] == 0)
+
+
+def test_import_migrates_moments(tmp_path):
+    cfg = make_cfg()
+    model = ref_vit(cfg)
+    opt = _stepped_reference_optimizer(model, steps=2, skip=("rmsnorm", "map_balance"))
+    ckpt = _reference_checkpoint_dict(cfg)
+    ckpt["model"] = model.state_dict()
+    ckpt["optimizer"] = opt.state_dict()
+    pt = tmp_path / "c.pt"
+    torch.save(ckpt, pt)
+    import_torch_checkpoint(pt, tmp_path / "out")
+
+    from nvit_tpu.ckpt.checkpoint import restore_for_resume
+    from nvit_tpu.ckpt.torch_interop import _reference_param_order
+
+    state, _cfg, _meta = restore_for_resume(tmp_path / "out", "checkpoint_latest")
+    assert int(state.opt_state.count) == 2
+    flat = _reference_param_order(model.state_dict(), cfg.use_nvit)
+    idx = flat.index("mlp_head.1.weight")
+    np.testing.assert_array_equal(
+        np.asarray(state.opt_state.mu["head"]["w"]),
+        opt.state_dict()["state"][idx]["exp_avg"].numpy().T,
+    )
 
 
 def test_forward_parity_after_import():
