@@ -222,6 +222,8 @@ class Trainer:
 
         self.metrics_writer: MetricsWriter | None = None
         self._pending_saves: list = []
+        self._in_step = False  # True while the donating train step is on the stack
+        self._deferred_signal: int | None = None
         self._install_signal_handlers()
 
         n = num_params(self.state.params)
@@ -402,9 +404,24 @@ class Trainer:
                         if (self.iter_num + 1) % cfg.training.log_interval == 0
                         else self._train_step
                     )
+                    # the step DONATES self.state: a signal handler firing
+                    # while the call is on the stack would try to checkpoint
+                    # donated (deleted) buffers, so the handler defers to this
+                    # boundary (see _install_signal_handlers)
+                    self._in_step = True
                     self.state, step_metrics = step_fn(self.state, images, labels)
+                    self._in_step = False
                     self.iter_num += 1
                     local_iter += 1
+                    if self._deferred_signal is not None:
+                        self.logger.info(
+                            "Handling deferred signal %s at step boundary",
+                            self._deferred_signal,
+                        )
+                        if jax.process_count() > 1:
+                            self._abnormal_exit = True
+                        self.cleanup()
+                        sys.exit(0)
                     if cfg.system.profile_steps > 0 and local_iter == 1 + cfg.system.profile_steps:
                         # host VALUE fetch, not block_until_ready: on the
                         # tunneled backend only a fetch is a true sync point
@@ -709,6 +726,18 @@ class Trainer:
         """SIGINT/SIGTERM → save + cleanup + exit (≙ train.py:113-116, 1175-1180)."""
 
         def handler(signum, frame):
+            if self._in_step:
+                # the train step donates its input state: while the call is
+                # on the stack, self.state references donated buffers and a
+                # checkpoint from this frame would raise (and be swallowed by
+                # cleanup's teardown guard, exiting 0 with NO final save).
+                # Defer to the step boundary, where self.state is valid.
+                self._deferred_signal = signum
+                self.logger.info(
+                    "Received signal %s mid-step; deferring cleanup to the "
+                    "step boundary", signum,
+                )
+                return
             self.logger.info("Received signal %s. Performing cleanup...", signum)
             # a signal is delivered per-process: under multi-host we cannot
             # know the peers got it too, so treat it as an abnormal exit and

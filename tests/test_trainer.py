@@ -185,6 +185,31 @@ class TestTrainerEndToEnd:
         # cleanup still writes latest
         assert (out / "checkpoint_latest.npz").exists()
 
+    def test_signal_mid_step_defers_cleanup(self, tmp_path):
+        """The train step DONATES self.state: a handler firing while the call
+        is on the stack must defer (checkpointing donated buffers raises, and
+        cleanup's teardown guard would swallow it — exit 0 with NO final
+        save).  At a step boundary the inline path runs as before."""
+        import signal as _signal
+
+        cfg = make_cfg(tmp_path)
+        t = Trainer(config=cfg)
+        t._load_data()
+        t.metrics_writer = None
+        t.iter_num = 5
+        t.last_metrics = {"val/loss": 0.5}
+        handler = _signal.getsignal(_signal.SIGTERM)
+
+        t._in_step = True
+        handler(_signal.SIGTERM, None)  # must NOT raise SystemExit
+        assert t._deferred_signal == _signal.SIGTERM
+        assert not (tmp_path / "out" / "checkpoint_latest.npz").exists()
+
+        t._in_step = False
+        with pytest.raises(SystemExit):
+            handler(_signal.SIGTERM, None)
+        assert (tmp_path / "out" / "checkpoint_latest.npz").exists()
+
     def test_cleanup_does_not_overwrite_best(self, tmp_path):
         """cleanup()/signal paths save only checkpoint_latest — the best file
         keeps the weights from the eval that earned it (advisor round-1)."""
