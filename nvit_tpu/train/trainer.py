@@ -224,6 +224,7 @@ class Trainer:
         self._pending_saves: list = []
         self._in_step = False  # True while the donating train step is on the stack
         self._deferred_signal: int | None = None
+        self._cleaned = False  # cleanup() idempotence (signal paths enter twice)
         self._install_signal_handlers()
 
         n = num_params(self.state.params)
@@ -334,6 +335,7 @@ class Trainer:
         try:
             tlaunch = time.time()
             self._time_up = False  # see _time_limit_reached
+            self._cleaned = False  # re-arm cleanup for this launch
             self._load_data()
             if self.is_master:  # metric sinks are master-only (≙ train.py:817)
                 self.metrics_writer = MetricsWriter(
@@ -764,7 +766,14 @@ class Trainer:
         block at the commit barrier until the distributed timeout, masking
         the original error.  Those paths skip the final save and rely on the
         last periodic checkpoint; normal completion (all ranks reach the
-        same point) still saves."""
+        same point) still saves.
+
+        Idempotent: signal exits reach here twice (handler/boundary path,
+        then train()'s finally) — the second entry must not rewrite the
+        final checkpoint."""
+        if self._cleaned:
+            return
+        self._cleaned = True
         try:
             skip_collective = self._save_is_collective() and self._abnormal_exit
             if skip_collective:
