@@ -285,6 +285,28 @@ def test_import_migrates_moments(tmp_path):
     )
 
 
+def test_imported_checkpoint_feeds_serving_stack(tmp_path):
+    """Migration composes with the deploy surface: an imported reference
+    checkpoint loads straight into Predictor (bf16 and int8 serving)."""
+    from nvit_tpu.infer import Predictor
+
+    cfg = make_cfg()
+    ckpt = _reference_checkpoint_dict(cfg)
+    pt = tmp_path / "c.pt"
+    torch.save(ckpt, pt)
+    import_torch_checkpoint(pt, tmp_path / "out", name="checkpoint_best")
+
+    imgs = np.random.default_rng(0).integers(
+        0, 256, size=(3, cfg.channels, cfg.image_size, cfg.image_size), dtype=np.uint8
+    )
+    for quantize in (None, "int8"):
+        p = Predictor.from_checkpoint(
+            tmp_path / "out", compute_dtype=None, quantize=quantize
+        )
+        labels, probs = p.predict(imgs, top_k=2)
+        assert labels.shape == (3, 2) and np.isfinite(probs).all()
+
+
 def test_forward_parity_after_import():
     """The imported tree computes the same logits as the torch model it came
     from (fp32) — migration does not change the model."""
