@@ -61,6 +61,16 @@ REFERENCE_MODEL_ARGS = (
 )
 
 
+def _torch_from(a: Any) -> "Any":
+    """numpy → torch tensor, preserving rank: np.ascontiguousarray promotes
+    0-d to (1,) (torch's load_state_dict shims that legacy case, AdamW's step
+    does not) — np.array(..., order="C") copies contiguously WITHOUT the
+    promotion."""
+    import torch
+
+    return torch.from_numpy(np.array(a, order="C"))
+
+
 def _np(t: Any) -> np.ndarray:
     """Tensor-or-array → detached fp-preserving numpy COPY (a torch tensor
     mutated in place afterwards must not alias the mapped tree)."""
@@ -71,8 +81,15 @@ def _np(t: Any) -> np.ndarray:
 
 def global_embed_permutation(channels: int, kernel: int, stride: int) -> np.ndarray:
     """Row permutation mapping a torch conv's flattened ``(C, kh, kw)`` fan-in
-    onto extract_overlapping_patches' 2×2-block-major ``(blk, C, ph, pw)``
-    layout (models/patch.py).  ``perm[our_row] = torch_flat_index``."""
+    onto extract_overlapping_patches' feature layout (models/patch.py).
+    ``perm[our_row] = torch_flat_index``.
+
+    The 2×2-block-major slice-concat layout only applies to the
+    ``kernel == 2·stride`` fast path; every other shape goes through the
+    im2col fallback (conv_general_dilated_patches), whose ``(C, kh, kw)``
+    feature order already equals the torch fan-in — identity."""
+    if kernel != 2 * stride:
+        return np.arange(channels * kernel * kernel, dtype=np.int64)
     s = stride
     perm = np.empty(channels * kernel * kernel, dtype=np.int64)
     for i in range(2):
@@ -186,19 +203,23 @@ def _unmap_linear(p: Mapping[str, Any], prefix: str, out: dict) -> None:
 
 
 def _som_grid_buffers(num_nodes: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic KohonenMap buffers (≙ kohonen.py:52-78): roughly-square
-    grid locations and the 8 periodic wrap offsets."""
-    m = int(num_nodes**0.5)
-    n = num_nodes // m
-    locs = np.array([[i, j] for i in range(m) for j in range(n)], dtype=np.int64)
+    """Deterministic KohonenMap buffers (≙ kohonen.py:52-78): the model's own
+    grid geometry (som/kohonen.py is the single source of truth for m×n) plus
+    the reference's 8 periodic wrap offsets."""
+    from nvit_tpu.som.kohonen import grid_locations, make_spec
+
+    spec = make_spec(input_dim=1, num_nodes=num_nodes)
+    m, n = spec.m, spec.n
     offsets = np.array(
         [[-m, -n], [m, n], [-m, 0], [m, 0], [0, -n], [0, n], [-m, n], [m, -n]],
         dtype=np.int64,
-    )
-    return locs, offsets
+    )  # ≙ kohonen.py:71-78 (registration order matters for state_dict parity)
+    return grid_locations(spec), offsets
 
 
-def state_dict_from_params(params: Mapping[str, Any], cfg: ViTConfig) -> dict[str, np.ndarray]:
+def state_dict_from_params(
+    params: Mapping[str, Any], cfg: ViTConfig, *, warn_dropped: bool = True
+) -> dict[str, np.ndarray]:
     """nvit_tpu parameter tree → reference-layout ``state_dict`` (numpy).
 
     The result loads into ``/root/reference/nvit/model.py::ViT(config)`` with
@@ -256,7 +277,7 @@ def state_dict_from_params(params: Mapping[str, Any], cfg: ViTConfig) -> dict[st
         else:
             for name in ("rmsnorm_att", "rmsnorm_mlp"):
                 w = _np(blk[name])
-                if not np.allclose(w, 1.0):
+                if warn_dropped and not np.allclose(w, 1.0):
                     logger.warning(
                         "dropping trained %s.%s (reference baseline blocks do "
                         "not construct RMSNorms — upstream bug, PARITY.md)",
@@ -342,25 +363,79 @@ def config_from_reference_checkpoint(ckpt: Mapping[str, Any]) -> Config:
 # ---------------------------------------------------------------------------
 
 
-def _reference_param_order(model_sd: Mapping[str, Any], use_nvit: bool) -> list[str]:
-    """Reconstruct the flat parameter enumeration the reference's AdamW
-    state_dict indexes (model.py:369-385): param_groups are [decay(dim≥2),
-    no-decay(dim<2), (nViT) sz], each filtered from named_parameters order —
-    which equals state_dict key order once buffers are dropped."""
-    names = [k for k in model_sd if not k.endswith((".locations", ".offsets"))]
-    dims = {k: _np(model_sd[k]).ndim for k in names}
-    if use_nvit:
-        groups = [
+def reference_state_dict_order(cfg: ViTConfig) -> list[str]:
+    """Key order of the reference ViT's ``state_dict()`` — torch's module-DFS
+    (direct parameters before child modules, children in registration order,
+    model.py:278-356).  The AdamW param enumeration derives from this, so it
+    must NOT depend on any python-dict insertion order of OUR making; the
+    test suite pins it against the actual reference model in both modes."""
+    keys = ["local_pos_embed", "global_pos_embed"]
+    if cfg.use_kohonen:
+        keys.append("map_balance")
+    if cfg.use_nvit:
+        keys.append("sz")
+    keys += [
+        "local_patch_embed.weight", "local_patch_embed.bias",
+        "global_patch_embed.1.weight", "global_patch_embed.1.bias",
+    ]
+    if cfg.use_kohonen:
+        for s in ("local", "global"):
+            keys += [f"{s}_kohonen.nodes", f"{s}_kohonen.locations", f"{s}_kohonen.offsets"]
+    ca = "cross_attention"
+    if cfg.use_nvit:
+        keys += [f"{ca}.attn_alpha", f"{ca}.sqk"]
+    else:
+        keys += [f"{ca}.local_norm.weight", f"{ca}.global_norm.weight"]
+    for name in ("q_local", "k_global", "v_global", "proj", "out_proj"):
+        keys.append(f"{ca}.{name}.weight")
+        if cfg.bias:
+            keys.append(f"{ca}.{name}.bias")
+    keys += ["reconstruction_head.0.weight", "reconstruction_head.0.bias"]
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        keys.append(f"{p}.skip_param")
+        if cfg.use_nvit:
+            keys += [f"{p}.attn_alpha", f"{p}.mlp_alpha", f"{p}.sqk", f"{p}.suv"]
+        # children registration order: key BEFORE query (model.py:50-55)
+        for name in ("key", "query", "value", "att_c_proj", "c_fc", "mlp_c_proj"):
+            keys.append(f"{p}.{name}.weight")
+            if cfg.bias:
+                keys.append(f"{p}.{name}.bias")
+        if cfg.use_nvit:
+            keys += [f"{p}.rmsnorm_att.weight", f"{p}.rmsnorm_mlp.weight"]
+    keys += ["mlp_head.0.weight", "mlp_head.0.bias", "mlp_head.1.weight", "mlp_head.1.bias"]
+    return keys
+
+
+def _reference_param_groups(model_sd: Mapping[str, Any], cfg: ViTConfig) -> list[list[str]]:
+    """Reconstruct the reference's AdamW param groups (model.py:369-385):
+    [decay(dim≥2), no-decay(dim<2), (nViT) sz], filtered from the canonical
+    named_parameters order (buffers dropped)."""
+    names = [
+        k for k in reference_state_dict_order(cfg)
+        if not k.endswith((".locations", ".offsets"))
+    ]
+    missing = [n for n in names if n not in model_sd]
+    if missing:
+        raise KeyError(f"state_dict missing expected reference keys: {missing[:4]}…")
+    # rank via .shape, no _np: copying every tensor just to read its rank
+    # would materialize the whole model again (review r3 #5)
+    dims = {k: len(model_sd[k].shape) for k in names}
+    if cfg.use_nvit:
+        return [
             [n for n in names if "sz" not in n and dims[n] >= 2],
             [n for n in names if "sz" not in n and dims[n] < 2],
             ["sz"],
         ]
-    else:
-        groups = [
-            [n for n in names if dims[n] >= 2],
-            [n for n in names if dims[n] < 2],
-        ]
-    return [n for g in groups for n in g]
+    return [
+        [n for n in names if dims[n] >= 2],
+        [n for n in names if dims[n] < 2],
+    ]
+
+
+def _reference_param_order(model_sd: Mapping[str, Any], cfg: ViTConfig) -> list[str]:
+    """Flat parameter enumeration the reference's AdamW state_dict indexes."""
+    return [n for g in _reference_param_groups(model_sd, cfg) for n in g]
 
 
 def moment_trees_from_torch(
@@ -377,7 +452,7 @@ def moment_trees_from_torch(
     """
     if not isinstance(opt_sd, Mapping) or not opt_sd.get("param_groups"):
         return None
-    order = _reference_param_order(model_sd, cfg.use_nvit)
+    order = _reference_param_order(model_sd, cfg)
     indices = [i for g in opt_sd["param_groups"] for i in g.get("params", ())]
     if len(indices) != len(order):
         logger.warning(
@@ -392,10 +467,10 @@ def moment_trees_from_torch(
     steps = [0]
     for idx, name in zip(indices, order):
         ent = state.get(idx, state.get(str(idx)))
-        ref = _np(model_sd[name])
         if ent is None:
-            mu_sd[name] = np.zeros(ref.shape, np.float32)
-            nu_sd[name] = np.zeros(ref.shape, np.float32)
+            shape = tuple(model_sd[name].shape)
+            mu_sd[name] = np.zeros(shape, np.float32)
+            nu_sd[name] = np.zeros(shape, np.float32)
             continue
         mu_sd[name] = _np(ent["exp_avg"]).astype(np.float32)
         nu_sd[name] = _np(ent["exp_avg_sq"]).astype(np.float32)
@@ -410,6 +485,67 @@ def moment_trees_from_torch(
                 blk["rmsnorm_att"] = np.zeros_like(blk["rmsnorm_att"])
                 blk["rmsnorm_mlp"] = np.zeros_like(blk["rmsnorm_mlp"])
     return mu, nu, max(steps)
+
+
+def torch_optimizer_state_dict(
+    mu: Mapping[str, Any],
+    nu: Mapping[str, Any],
+    count: int,
+    cfg: ViTConfig,
+    model_sd: Mapping[str, Any],
+    opt_cfg: Any,
+) -> dict[str, Any]:
+    """Our FusedAdamWState moments → a torch ``AdamW.state_dict()`` the
+    reference's ``configure_optimizers(...)`` result loads — the inverse of
+    :func:`moment_trees_from_torch`, so moments migrate in BOTH directions.
+
+    ``mu``/``nu`` are our moment trees (params layout); ``model_sd`` the
+    already-exported reference state_dict (fixes the param enumeration).
+    The constructed-but-unused reference slots (nViT rmsnorm weights) get
+    zero moments — what torch AdamW would hold for never-stepped params.
+    """
+    import torch
+
+    sd_mu = state_dict_from_params(mu, cfg, warn_dropped=False)
+    sd_nu = state_dict_from_params(nu, cfg, warn_dropped=False)
+    groups = _reference_param_groups(model_sd, cfg)
+    state: dict[int, dict[str, Any]] = {}
+    idx = 0
+    param_groups = []
+    for gi, names in enumerate(groups):
+        ids = []
+        for name in names:
+            a = sd_mu.get(name)
+            b = sd_nu.get(name)
+            if a is None or name.endswith((".rmsnorm_att.weight", ".rmsnorm_mlp.weight")):
+                shape = tuple(model_sd[name].shape)
+                a = np.zeros(shape, np.float32)
+                b = np.zeros(shape, np.float32)
+            state[idx] = {
+                "step": torch.tensor(float(count)),
+                "exp_avg": _torch_from(np.asarray(a, np.float32)),
+                "exp_avg_sq": _torch_from(np.asarray(b, np.float32)),
+            }
+            ids.append(idx)
+            idx += 1
+        param_groups.append(
+            {
+                "params": ids,
+                "lr": float(opt_cfg.learning_rate),
+                "betas": (float(opt_cfg.beta1), float(opt_cfg.beta2)),
+                "eps": 1e-8,
+                # group 0 is the decay group; the rest are no-decay
+                # (≙ model.py:372-383)
+                "weight_decay": float(opt_cfg.weight_decay) if gi == 0 else 0.0,
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "differentiable": False,
+                "fused": False,
+            }
+        )
+    return {"state": state, "param_groups": param_groups}
 
 
 # ---------------------------------------------------------------------------
@@ -494,23 +630,42 @@ def export_torch_checkpoint(
 ) -> Path:
     """nvit_tpu checkpoint → reference-format ``.pt``.
 
-    The output dict mirrors train.py:640-650 (``model`` state_dict,
-    ``model_args``, ``iter_num``, ``metrics``, ``config``, timestamp); the
-    ``state_dict`` loads into the reference ``ViT`` with ``strict=True``.
+    The output dict carries every key the reference's save_checkpoint writes
+    and its load_checkpoint reads (train.py:375-393, 640-650): ``model``
+    state_dict (loads into the reference ``ViT`` with ``strict=True``), a
+    torch-format ``optimizer`` state_dict with the AdamW moments mapped back
+    (loads into the reference ``configure_optimizers`` result), ``model_args``,
+    ``iter_num``, ``metrics``, ``config``, and both RNG states.  Note the
+    reference's own resume path has an ordering bug (it loads the optimizer
+    before creating it, train.py:381 vs 124 — PARITY.md); the dict is
+    complete regardless, and loads fine through its save_checkpoint contract.
     """
     import torch
+
+    import jax
 
     from nvit_tpu.ckpt.checkpoint import restore_for_resume
 
     state, cfg, meta = restore_for_resume(checkpoint_dir, name)
     sd_np = state_dict_from_params(state.params, cfg.model)
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    sd = {k: _torch_from(v) for k, v in sd_np.items()}
+    opt_sd = torch_optimizer_state_dict(
+        jax.tree_util.tree_map(np.asarray, state.opt_state.mu),
+        jax.tree_util.tree_map(np.asarray, state.opt_state.nu),
+        int(state.opt_state.count),
+        cfg.model,
+        sd,
+        cfg.optimizer,
+    )
     out = {
         "model": sd,
+        "optimizer": opt_sd,
         "model_args": model_args_from_config(cfg.model),
         "iter_num": int(state.step),
         "metrics": meta.get("metrics", {}),
         "config": cfg.to_dict(),
+        "rng_state_pytorch": torch.get_rng_state(),
+        "rng_state_numpy": np.random.get_state(),
         "timestamp": time.strftime("%d_%m_%Y-%Hh%Mm"),
         "format": "nvit_tpu.torch_interop.v1",
     }

@@ -225,6 +225,7 @@ class Trainer:
         self._in_step = False  # True while the donating train step is on the stack
         self._deferred_signal: int | None = None
         self._cleaned = False  # cleanup() idempotence (signal paths enter twice)
+        self._skip_final_save = False  # second signal mid-step: state is donated
         self._install_signal_handlers()
 
         n = num_params(self.state.params)
@@ -729,6 +730,22 @@ class Trainer:
 
         def handler(signum, frame):
             if self._in_step:
+                if self._deferred_signal is not None:
+                    # second signal while a step is STILL in flight: the step
+                    # is likely hung (backend outage, multi-minute remote
+                    # compile) — stay interruptible.  No final save (state is
+                    # donated); sinks still tear down; resume uses the last
+                    # periodic checkpoint.
+                    self.logger.warning(
+                        "Second signal %s while a step is in flight — forcing "
+                        "exit without a final save (resume from the last "
+                        "periodic checkpoint)", signum,
+                    )
+                    self._skip_final_save = True
+                    if jax.process_count() > 1:
+                        self._abnormal_exit = True
+                    self.cleanup()
+                    sys.exit(1)
                 # the train step donates its input state: while the call is
                 # on the stack, self.state references donated buffers and a
                 # checkpoint from this frame would raise (and be swallowed by
@@ -781,6 +798,10 @@ class Trainer:
                     "Skipping final collective checkpoint from an abnormal-exit "
                     "path (multi-host orbax); resume from the last periodic save"
                 )
+            elif self._skip_final_save:
+                # forced exit with a step in flight: self.state references
+                # donated buffers — a save would raise
+                pass
             elif self.iter_num > 0:
                 self.save(self.last_metrics)
             self._join_pending_saves()  # don't exit while a write is in flight

@@ -97,11 +97,22 @@ def test_export_strict_loads_into_reference(kw):
 
     model = ref_vit(cfg)
     missing, unexpected = model.load_state_dict(
-        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}, strict=True
+        {k: torch.from_numpy(np.array(v, order="C")) for k, v in sd_np.items()}, strict=True
     )
     assert missing == [] and unexpected == []
     back = params_from_state_dict(model.state_dict(), cfg)
     assert_trees_equal(params, back)
+
+
+@pytest.mark.parametrize("kw", CASES)
+def test_reference_state_dict_order_matches_real_model(kw):
+    """The canonical key order (which fixes the AdamW param enumeration for
+    moment migration) must equal the ACTUAL reference state_dict order."""
+    from nvit_tpu.ckpt.torch_interop import reference_state_dict_order
+
+    cfg = make_cfg(**kw)
+    model = ref_vit(cfg)
+    assert list(model.state_dict().keys()) == reference_state_dict_order(cfg)
 
 
 def test_import_reference_state_dict_matches_parity_mapping():
@@ -237,7 +248,7 @@ def test_moment_migration(use_nvit):
     ]  # named order == state_dict param order
     from nvit_tpu.ckpt.torch_interop import _reference_param_order
 
-    flat = _reference_param_order(model.state_dict(), cfg.use_nvit)
+    flat = _reference_param_order(model.state_dict(), cfg)
     assert set(flat) == set(order)
     idx = flat.index("transformer.h.0.query.weight")
     np.testing.assert_array_equal(
@@ -277,7 +288,7 @@ def test_import_migrates_moments(tmp_path):
 
     state, _cfg, _meta = restore_for_resume(tmp_path / "out", "checkpoint_latest")
     assert int(state.opt_state.count) == 2
-    flat = _reference_param_order(model.state_dict(), cfg.use_nvit)
+    flat = _reference_param_order(model.state_dict(), cfg)
     idx = flat.index("mlp_head.1.weight")
     np.testing.assert_array_equal(
         np.asarray(state.opt_state.mu["head"]["w"]),
@@ -307,12 +318,60 @@ def test_imported_checkpoint_feeds_serving_stack(tmp_path):
         assert labels.shape == (3, 2) and np.isfinite(probs).all()
 
 
-def test_forward_parity_after_import():
+def test_export_carries_torch_loadable_optimizer(tmp_path):
+    """The exported .pt has every key the reference save_checkpoint writes;
+    its optimizer dict loads into the reference's configure_optimizers result
+    and carries our AdamW moments back (both-directions moment migration)."""
+    cfg = make_cfg()
+    ckpt = _reference_checkpoint_dict(cfg, iter_num=5)
+    model = ref_vit(cfg)
+    opt = _stepped_reference_optimizer(model, steps=4, skip=("rmsnorm", "map_balance"))
+    ckpt["model"] = model.state_dict()
+    ckpt["optimizer"] = opt.state_dict()
+    pt = tmp_path / "c.pt"
+    torch.save(ckpt, pt)
+    import_torch_checkpoint(pt, tmp_path / "out")
+    back_pt = tmp_path / "back.pt"
+    export_torch_checkpoint(tmp_path / "out", "checkpoint_latest", back_pt)
+    back = torch.load(back_pt, map_location="cpu", weights_only=False)
+
+    for key in ("model", "optimizer", "model_args", "iter_num", "metrics",
+                "config", "rng_state_pytorch", "rng_state_numpy", "timestamp"):
+        assert key in back, key
+
+    model2 = ref_vit(cfg)
+    model2.load_state_dict(back["model"], strict=True)
+    opt2 = model2.configure_optimizers(0.1, 1e-3, (0.9, 0.95), "cpu")
+    opt2.load_state_dict(back["optimizer"])
+    # moments survived the round-trip torch → ours → torch
+    s1, s2 = opt.state_dict()["state"], opt2.state_dict()["state"]
+    from nvit_tpu.ckpt.torch_interop import _reference_param_order
+
+    flat = _reference_param_order(model.state_dict(), cfg)
+    for name in ("transformer.h.0.query.weight", "global_patch_embed.1.weight", "sz"):
+        i = flat.index(name)
+        np.testing.assert_allclose(
+            s2[i]["exp_avg"].numpy(), s1[i]["exp_avg"].numpy(), atol=1e-7, err_msg=name
+        )
+        assert int(s2[i]["step"]) == 4
+    # the loaded optimizer is actually steppable
+    for n, p in model2.named_parameters():
+        p.grad = torch.zeros_like(p)
+    opt2.step()
+
+
+@pytest.mark.parametrize("ratio_kw", [
+    {},  # default 8/16: the 2x2-block-major fast path
+    dict(image_size=24, local_patch_size=4, global_patch_size=12),  # im2col path
+])
+def test_forward_parity_after_import(ratio_kw):
     """The imported tree computes the same logits as the torch model it came
-    from (fp32) — migration does not change the model."""
+    from (fp32) — migration does not change the model.  Covers both patchify
+    layouts (kernel==2*stride slice-concat AND the im2col fallback, whose
+    fan-in permutation is identity)."""
     from nvit_tpu.models.vit import vit_apply
 
-    cfg = make_cfg()
+    cfg = make_cfg(**ratio_kw)
     model = ref_vit(cfg).eval()
     params = jax.tree_util.tree_map(
         jnp.asarray, params_from_state_dict(model.state_dict(), cfg)

@@ -210,6 +210,29 @@ class TestTrainerEndToEnd:
             handler(_signal.SIGTERM, None)
         assert (tmp_path / "out" / "checkpoint_latest.npz").exists()
 
+    def test_second_signal_mid_step_forces_exit(self, tmp_path):
+        """A step can hang for minutes (remote compile, backend outage): the
+        SECOND signal while one is still in flight must force exit — no final
+        save (state is donated), sinks torn down, nonzero exit code."""
+        import signal as _signal
+
+        cfg = make_cfg(tmp_path)
+        t = Trainer(config=cfg)
+        t._load_data()
+        t.metrics_writer = None
+        t.iter_num = 5
+        t.last_metrics = {"val/loss": 0.5}
+        handler = _signal.getsignal(_signal.SIGTERM)
+
+        t._in_step = True
+        handler(_signal.SIGTERM, None)  # first: deferred
+        with pytest.raises(SystemExit) as e:
+            handler(_signal.SIGTERM, None)  # second: forced exit
+        assert e.value.code == 1
+        assert t._cleaned
+        # no final checkpoint — self.state references donated buffers
+        assert not (tmp_path / "out" / "checkpoint_latest.npz").exists()
+
     def test_cleanup_does_not_overwrite_best(self, tmp_path):
         """cleanup()/signal paths save only checkpoint_latest — the best file
         keeps the weights from the eval that earned it (advisor round-1)."""
