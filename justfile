@@ -95,6 +95,13 @@ scale-run *ARGS:
 test:
     python -m pytest tests/ -x -q
 
+# Full CI gate: hermetic CPU suite + the single-chip jit compile check +
+# the 8-device virtual-mesh dryrun of the multi-chip train step.
+ci:
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -c "import jax; jax.config.update('jax_platforms','cpu'); import __graft_entry__ as g; fn, a = g.entry(); jax.jit(fn)(*a); print('entry OK')"
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
 bench *ARGS:
     python bench.py {{ARGS}}
 
