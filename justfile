@@ -105,6 +105,11 @@ ci:
 bench *ARGS:
     python bench.py {{ARGS}}
 
+# Full on-chip evidence queue (real TPU): shard_map smoke, kernel parity,
+# bench, int8 serving bench, AOT artifact smoke — sequential, tunnel-probing.
+tpu-evidence *ARGS:
+    bash scripts/tpu_evidence.sh {{ARGS}}
+
 clean:
     rm -rf .cache .pytest_cache .jax_cache
     find . -type d -name "__pycache__" -exec rm -rf {} +
