@@ -3,6 +3,7 @@
 import http.client
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -159,6 +160,116 @@ class TestEndpoints:
     def test_unknown_path_404(self, server):
         status, _ = _request(server, "GET", "/nope")
         assert status == 404
+
+
+class _FakePredictor:
+    """Deterministic predictor double: probs one-hot on (first pixel % 4),
+    records every device-call batch size, optional gate/failure injection."""
+
+    def __init__(self, gate=None, fail=False):
+        import types
+
+        self.cfg = types.SimpleNamespace(
+            image_size=16, num_classes=4, n_layer=1, n_embd=32,
+            use_nvit=True, use_kohonen=False,
+        )
+        self.calls: list[int] = []
+        self.gate = gate  # (started_event, release_event) applied to call #1
+        self.fail = fail
+
+    def predict_probs(self, images):
+        self.calls.append(images.shape[0])
+        if self.gate is not None and len(self.calls) == 1:
+            started, release = self.gate
+            started.set()
+            assert release.wait(timeout=10)
+        if self.fail:
+            raise RuntimeError("device exploded")
+        probs = np.zeros((images.shape[0], 4), np.float32)
+        probs[np.arange(images.shape[0]), images[:, 0, 0, 0].astype(int) % 4] = 1.0
+        return probs
+
+
+class TestDynamicBatching:
+    def _img(self, tag: int) -> np.ndarray:
+        img = np.zeros((1, 3, 16, 16), np.uint8)
+        img[0, 0, 0, 0] = tag
+        return img
+
+    def test_coalesces_concurrent_requests(self):
+        """Requests queued while a forward is in flight ride ONE next program."""
+        import concurrent.futures
+
+        started, release = threading.Event(), threading.Event()
+        fake = _FakePredictor(gate=(started, release))
+        svc = InferenceService(fake, max_batch=2, batch_window_ms=200.0)
+        try:
+            with concurrent.futures.ThreadPoolExecutor(3) as ex:
+                fut_a = ex.submit(svc.predict, self._img(1))
+                assert started.wait(timeout=10)  # call #1 on the device, gated
+                fut_b = ex.submit(svc.predict, self._img(2))
+                fut_c = ex.submit(svc.predict, self._img(3))
+                while len(svc._batcher._queue) < 2:  # b+c enqueued behind the gate
+                    time.sleep(0.001)
+                release.set()
+                a, b, c = fut_a.result(30), fut_b.result(30), fut_c.result(30)
+            # routing: each request got its own one-hot class back
+            assert (a["labels"], b["labels"], c["labels"]) == ([[1]], [[2]], [[3]])
+            # coalescing: first request alone, then b+c in ONE program
+            # (batch 2 == max_batch fills the window instantly)
+            assert fake.calls == [1, 2]
+        finally:
+            release.set()
+            svc.close()
+
+    def test_batched_results_match_direct(self):
+        """Concurrent batched-path responses equal the direct path exactly."""
+        import concurrent.futures
+
+        predictor = Predictor.from_config(_tiny_cfg())
+        direct = InferenceService(predictor, max_batch=8)
+        batched = InferenceService(predictor, max_batch=8, batch_window_ms=25.0)
+        rng = np.random.RandomState(3)
+        batches = [rng.randint(0, 256, (n, 3, 16, 16)).astype(np.uint8) for n in (1, 2, 1, 3)]
+        try:
+            with concurrent.futures.ThreadPoolExecutor(4) as ex:
+                got = list(ex.map(lambda im: batched.predict(im, top_k=3), batches))
+            for imgs, out in zip(batches, got):
+                want = direct.predict(imgs, top_k=3)
+                assert out["labels"] == want["labels"]
+                # coalescing runs a DIFFERENT batch shape through the bf16
+                # forward (e.g. 1+2+1+3 → one padded-8 program vs a padded-1
+                # program) — XLA fuses/reduces per shape, so probs agree only
+                # to bf16 noise, not bitwise
+                np.testing.assert_allclose(out["probs"], want["probs"], rtol=2e-3, atol=1e-4)
+        finally:
+            batched.close()
+
+    def test_device_failure_fails_every_rider(self):
+        import concurrent.futures
+
+        svc = InferenceService(_FakePredictor(fail=True), max_batch=8, batch_window_ms=20.0)
+        try:
+            with concurrent.futures.ThreadPoolExecutor(2) as ex:
+                futs = [ex.submit(svc.predict, self._img(i)) for i in range(2)]
+                for f in futs:
+                    with pytest.raises(RuntimeError, match="device exploded"):
+                        f.result(30)
+        finally:
+            svc.close()
+
+    def test_close_rejects_new_flushes_pending(self):
+        fake = _FakePredictor()
+        svc = InferenceService(fake, max_batch=8, batch_window_ms=5.0)
+        assert svc.predict(self._img(2))["labels"] == [[2]]
+        svc.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            svc.predict(self._img(1))
+
+    def test_window_off_by_default(self):
+        svc = InferenceService(_FakePredictor(), max_batch=8)
+        assert svc._batcher is None
+        assert svc.predict(self._img(3))["labels"] == [[3]]
 
 
 class TestConcurrency:
