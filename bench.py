@@ -55,6 +55,12 @@ def chip_hbm_bw() -> float:
 
 
 def main() -> None:
+    # one TPU-touching process at a time: two deadlock on the single-chip
+    # claim (CLAUDE.md), so the bench serializes with any in-flight evidence
+    # run (scripts/tpu_evidence.sh) instead of wedging both
+    from nvit_tpu.utils import acquire_tpu_lock
+
+    _lock = acquire_tpu_lock()  # noqa: F841 - held until process exit
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import flagship_config

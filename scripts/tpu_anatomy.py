@@ -23,6 +23,12 @@ from __graft_entry__ import flagship_config  # noqa: E402
 from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw  # noqa: E402
 from nvit_tpu.train.state import create_train_state  # noqa: E402
 from nvit_tpu.train.step import make_loss_fn, make_train_step  # noqa: E402
+from nvit_tpu.utils import acquire_tpu_lock  # noqa: E402
+
+# one TPU-touching process at a time: two deadlock on the single-chip
+# claim (CLAUDE.md), so every on-chip entry point serializes here
+_TPU_LOCK = acquire_tpu_lock()
+
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 STEPS = 15

@@ -32,6 +32,12 @@ from nvit_tpu.ckpt.aot import export_aot, load_aot  # noqa: E402
 from nvit_tpu.ckpt.checkpoint import save_checkpoint  # noqa: E402
 from nvit_tpu.infer import Predictor  # noqa: E402
 from nvit_tpu.train.state import create_train_state  # noqa: E402
+from nvit_tpu.utils import acquire_tpu_lock  # noqa: E402
+
+# one TPU-touching process at a time: two deadlock on the single-chip
+# claim (CLAUDE.md), so every on-chip entry point serializes here
+_TPU_LOCK = acquire_tpu_lock()
+
 
 BATCH = 16
 

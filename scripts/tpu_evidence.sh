@@ -15,8 +15,14 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site  # keep the axon plugin entry
 
 echo "=== tpu_evidence start $(date)" | tee -a "$LOG"
+# the probe takes the repo chip lock first (nvit_tpu.utils.device_lock):
+# probing while another process holds the chip would deadlock BOTH
+PROBE='from nvit_tpu.utils import acquire_tpu_lock
+l = acquire_tpu_lock(timeout_s=300)
+import jax
+print(jax.devices())'
 for i in $(seq 1 60); do
-  if timeout 600 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1; then
+  if timeout 600 python -c "$PROBE" >> "$LOG" 2>&1; then
     echo "=== tunnel up $(date)" | tee -a "$LOG"; break
   fi
   echo "=== probe $i failed $(date)" | tee -a "$LOG"

@@ -29,6 +29,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from nvit_tpu.ops.attention import qknorm_project_xla, sdpa_xla  # noqa: E402
 from nvit_tpu.ops.flash_attention import flash_attention, flash_attention_qknorm  # noqa: E402
 from nvit_tpu.ops.gated_mlp import _gated_core, _gated_core_b, _xla_gated  # noqa: E402
+from nvit_tpu.utils import acquire_tpu_lock  # noqa: E402
+
+# one TPU-touching process at a time: two deadlock on the single-chip
+# claim (CLAUDE.md), so every on-chip entry point serializes here
+_TPU_LOCK = acquire_tpu_lock()
+
 
 B, H, T, D = 2, 12, 784, 64
 SCALE = float(np.sqrt(D))  # the nViT scale — harder on the softmax than 1/sqrt(d)

@@ -27,6 +27,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from __graft_entry__ import flagship_config  # noqa: E402
 from nvit_tpu.infer import Predictor  # noqa: E402
+from nvit_tpu.utils import acquire_tpu_lock  # noqa: E402
+
+# one TPU-touching process at a time: two deadlock on the single-chip
+# claim (CLAUDE.md), so every on-chip entry point serializes here
+_TPU_LOCK = acquire_tpu_lock()
+
 
 STEPS = 20
 

@@ -29,6 +29,12 @@ sys.path.insert(0, "/root/repo")
 
 from nvit_tpu.ops.flash_attention import flash_attention, flash_attention_qknorm
 from nvit_tpu.ops.gated_mlp import _gated_dispatch
+from nvit_tpu.utils import acquire_tpu_lock  # noqa: E402
+
+# one TPU-touching process at a time: two deadlock on the single-chip
+# claim (CLAUDE.md), so every on-chip entry point serializes here
+_TPU_LOCK = acquire_tpu_lock()
+
 
 FAILURES = []
 

@@ -82,6 +82,11 @@ def test_sigterm_preemption_saves_and_resumes(tmp_path):
     env.update(TINY_ENV)
     env["NVIT_DATA__OUT_DIR"] = str(tmp_path / "out")
     env["NVIT_TRAINING__MAX_ITERS"] = "100000"  # run until killed
+    # no evals before the kill: under suite load SIGTERM can land hundreds of
+    # iterations in, and with evals running the synthetic plateau early-stops
+    # and writes the `finished` sentinel first — then resume CORRECTLY
+    # refuses to continue and the test would fail on its own slowness
+    env["NVIT_TRAINING__EVAL_INTERVAL"] = "100000"
     metrics = tmp_path / "out" / "metrics.jsonl"
     proc = subprocess.Popen(
         [sys.executable, "-m", "nvit_tpu"],
