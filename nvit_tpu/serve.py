@@ -10,6 +10,9 @@ HTTP server so a checkpoint can be served with one command:
 Endpoints:
 
 * ``GET  /healthz``  → ``{"status": "ok", "model": {...}}``
+* ``GET  /stats``    → serving counters: requests/images/errors, latency
+  percentiles over the last 1024 requests, device-program count, realized
+  coalescing factor and padding overhead (ServingStats)
 * ``POST /predict``  → body is either
     - raw uint8 bytes of one [C, H, W] image (Content-Type: application/octet-stream), or
     - JSON ``{"images": [[[...]]], "top_k": 5}`` with one [C,H,W] or a
@@ -153,6 +156,77 @@ class DynamicBatcher:
                     item["event"].set()
 
 
+class ServingStats:
+    """Thread-safe serving counters + latency reservoir for ``GET /stats``.
+
+    What an operator needs to run this server: request/image counts, error
+    count, end-to-end latency percentiles (ring buffer of the last 1024
+    requests — bounded memory, recent-window percentiles), and device-program
+    counts.  With dynamic batching on, ``images / device_programs`` is the
+    realized coalescing factor — the number that tells you whether the batch
+    window is actually buying throughput, and ``padded_images`` vs ``images``
+    shows how much device work the power-of-two padding adds on top.
+    """
+
+    WINDOW = 1024
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.images = 0
+        self.errors = 0
+        self.device_programs = 0
+        self.device_images = 0
+        self.padded_images = 0
+        self._lat_ms: list[float] = []
+
+    def record_request(self, rows: int, latency_ms: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.images += rows
+            self._lat_ms.append(latency_ms)
+            if len(self._lat_ms) > self.WINDOW:
+                del self._lat_ms[: -self.WINDOW]
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def record_program(self, rows: int, padded_rows: int) -> None:
+        with self._lock:
+            self.device_programs += 1
+            self.device_images += rows
+            self.padded_images += padded_rows
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat_ms)
+            out = {
+                "requests": self.requests,
+                "images": self.images,
+                "errors": self.errors,
+                "device_programs": self.device_programs,
+                "coalesced_images_per_program": (
+                    round(self.device_images / self.device_programs, 3)
+                    if self.device_programs
+                    else None
+                ),
+                "padding_overhead": (
+                    round(self.padded_images / self.device_images - 1.0, 3)
+                    if self.device_images
+                    else None
+                ),
+            }
+        if lat:
+            out["latency_ms"] = {
+                "window": len(lat),
+                "p50": round(lat[len(lat) // 2], 2),
+                "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 2),
+                "max": round(lat[-1], 2),
+            }
+        return out
+
+
 class InferenceService:
     """Thread-safe top-k prediction on a Predictor (shared by all handlers).
 
@@ -170,6 +244,7 @@ class InferenceService:
         self._pinned = getattr(predictor, "pinned_batch", None)
         self.max_batch = self._pinned if self._pinned else max_batch
         self._lock = threading.Lock()
+        self.stats = ServingStats()
         self._batcher = (
             DynamicBatcher(self._padded_probs, self.max_batch, batch_window_ms / 1e3)
             if batch_window_ms > 0
@@ -231,6 +306,7 @@ class InferenceService:
             images, _ = _pad_batch(images, self.max_batch)
         with self._lock:
             probs = np.asarray(self.predictor.predict_probs(images))
+        self.stats.record_program(b, images.shape[0])
         return probs[:b]
 
     def predict(self, images: np.ndarray, top_k: int = 1) -> dict:
@@ -240,11 +316,17 @@ class InferenceService:
                     f"batch {images.shape[0]} exceeds the artifact's pinned batch {self._pinned}"
                 )
             raise ValueError(f"batch {images.shape[0]} exceeds max_batch {self.max_batch}")
-        probs = (
-            self._batcher.submit(images)
-            if self._batcher is not None
-            else self._padded_probs(images)
-        )
+        t0 = time.perf_counter()
+        try:
+            probs = (
+                self._batcher.submit(images)
+                if self._batcher is not None
+                else self._padded_probs(images)
+            )
+        except Exception:
+            self.stats.record_error()
+            raise
+        self.stats.record_request(images.shape[0], (time.perf_counter() - t0) * 1e3)
         labels, top_probs = topk_from_probs(probs, top_k)
         return {"labels": labels.tolist(), "probs": top_probs.tolist()}
 
@@ -272,6 +354,8 @@ def make_handler(service: InferenceService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok", "model": service.model_info})
+            elif self.path == "/stats":
+                self._reply(200, service.stats.snapshot())
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -292,6 +376,7 @@ def make_handler(service: InferenceService):
                 images, top_k = service.parse(body, self.headers.get("Content-Type", ""))
                 self._reply(200, service.predict(images, top_k))
             except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
+                service.stats.record_error()
                 self._reply(400, {"error": str(e)})
 
     return Handler

@@ -272,6 +272,63 @@ class TestDynamicBatching:
         assert svc.predict(self._img(3))["labels"] == [[3]]
 
 
+class TestStats:
+    def test_stats_endpoint_over_http(self, server):
+        """/stats reports request/image/error counts and latency percentiles
+        after real traffic (the fixture's warmup-free service)."""
+        img = np.zeros((2, 3, 16, 16), np.uint8).tolist()
+        status, _ = _request(server, "POST", "/predict", json.dumps({"images": img}))
+        assert status == 200
+        status, _ = _request(server, "POST", "/predict", b"not json")
+        assert status == 400
+        status, stats = _request(server, "GET", "/stats")
+        assert status == 200
+        assert stats["requests"] >= 1 and stats["images"] >= 2
+        assert stats["errors"] >= 1
+        assert stats["device_programs"] >= 1
+        assert stats["latency_ms"]["p50"] > 0
+        assert stats["latency_ms"]["p99"] >= stats["latency_ms"]["p50"]
+
+    def test_coalescing_factor_reflects_batching(self):
+        """With dynamic batching, images/program > 1 once riders coalesce;
+        padding overhead accounts for the power-of-two pad on the device."""
+        import concurrent.futures
+
+        started, release = threading.Event(), threading.Event()
+        fake = _FakePredictor(gate=(started, release))
+        svc = InferenceService(fake, max_batch=4, batch_window_ms=200.0)
+        try:
+            with concurrent.futures.ThreadPoolExecutor(3) as ex:
+                fut_a = ex.submit(svc.predict, np.zeros((1, 3, 16, 16), np.uint8))
+                assert started.wait(timeout=10)
+                futs = [
+                    ex.submit(svc.predict, np.zeros((3, 3, 16, 16), np.uint8)),
+                    ex.submit(svc.predict, np.zeros((1, 3, 16, 16), np.uint8)),
+                ]
+                while len(svc._batcher._queue) < 2:
+                    time.sleep(0.001)
+                release.set()
+                fut_a.result(30)
+                for f in futs:
+                    f.result(30)
+            s = svc.stats.snapshot()
+            # program 1: 1 row; program 2: 3+1=4 rows coalesced → 5/2
+            assert s["device_programs"] == 2
+            assert s["coalesced_images_per_program"] == 2.5
+            # 5 real rows → programs padded to 1 and 4: zero pad overhead here
+            assert s["padding_overhead"] == 0.0
+            assert s["requests"] == 3 and s["images"] == 5
+        finally:
+            release.set()
+            svc.close()
+
+    def test_device_failure_counts_as_error(self):
+        svc = InferenceService(_FakePredictor(fail=True), max_batch=8)
+        with pytest.raises(RuntimeError):
+            svc.predict(np.zeros((1, 3, 16, 16), np.uint8))
+        assert svc.stats.snapshot()["errors"] == 1
+
+
 class TestConcurrency:
     def test_parallel_clients_all_succeed(self, server):
         """ThreadingHTTPServer + the service lock: 8 concurrent predicts all
