@@ -258,8 +258,20 @@ class InferenceService:
         }
         self._shape = (3, c.image_size, c.image_size)
 
-    def warmup(self) -> None:
+    def warmup(self, all_buckets: bool = False) -> None:
+        """Pay jit compiles before traffic.  ``all_buckets`` compiles every
+        power-of-two batch bucket up to max_batch (seconds per bucket on a
+        fresh cache) so no live request — including a coalesced batch from
+        the dynamic batcher — ever stalls on a first-seen shape."""
         self.predict(np.zeros((1, *self._shape), dtype=np.uint8))
+        if all_buckets and not self._pinned:
+            b = 2
+            while b <= self.max_batch:
+                self._padded_probs(np.zeros((b, *self._shape), dtype=np.uint8))
+                b *= 2
+        # warmup compiles would dominate the latency percentiles — /stats
+        # should describe live traffic only
+        self.stats = ServingStats()
 
     def parse(self, body: bytes, content_type: str) -> tuple[np.ndarray, int]:
         """→ (images uint8 [B, C, H, W], top_k)."""
@@ -402,6 +414,9 @@ def main(argv=None) -> None:
     ap.add_argument("--aot", action="store_true",
                     help="load an AOT StableHLO artifact (ckpt.aot) — no model tracing; "
                          "--int8/--data-parallel are baked in at export time")
+    ap.add_argument("--warm-buckets", action="store_true",
+                    help="compile every power-of-two batch bucket at startup (slower "
+                         "start, no first-seen-shape stall on any live request)")
     args = ap.parse_args(argv)
 
     if args.aot:
@@ -420,10 +435,37 @@ def main(argv=None) -> None:
     service = InferenceService(
         predictor, max_batch=args.max_batch, batch_window_ms=args.batch_window_ms
     )
-    service.warmup()
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    service.warmup(all_buckets=args.warm_buckets)
+
+    class DrainingHTTPServer(ThreadingHTTPServer):
+        # non-daemon handler threads: server_close() joins them, so every
+        # request accepted before shutdown gets its response before exit
+        daemon_threads = False
+
+    server = DrainingHTTPServer((args.host, args.port), make_handler(service))
+
+    # graceful drain on SIGTERM/SIGINT (≙ the trainer's signal protocol,
+    # reference train.py:113-116): stop accepting, let in-flight requests
+    # finish (server_close joins the handler threads), flush the batcher,
+    # then exit 0 so an orchestrator's rolling restart never drops accepted
+    # requests.  A second signal force-exits, matching the trainer's escape
+    # hatch for a wedged drain.
+    import signal
+
+    def _drain(signum, frame):
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+        print(f"signal {signum}: draining in-flight requests", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
+
     print(f"serving {args.checkpoint}/{args.name} on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()
+    server.server_close()
+    service.close()
+    print("drained; exiting", flush=True)
 
 
 if __name__ == "__main__":

@@ -329,6 +329,68 @@ class TestStats:
         assert svc.stats.snapshot()["errors"] == 1
 
 
+class TestGracefulDrain:
+    def test_sigterm_drains_in_flight_request(self, tmp_path):
+        """Kill `python -m nvit_tpu.serve` while a request sits in the batch
+        window: the accepted request still gets its 200 and the process
+        exits 0 after the drain (rolling restarts never drop requests)."""
+        import os
+        import signal
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        from nvit_tpu.ckpt.checkpoint import save_checkpoint
+        from nvit_tpu.configs.schema import Config as _Config
+        from nvit_tpu.train.state import create_train_state
+
+        cfg = _tiny_cfg()
+        save_checkpoint(tmp_path, "checkpoint_best", create_train_state(cfg), cfg)
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=str(Path(__file__).resolve().parents[1]))
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "nvit_tpu.serve", "--checkpoint", str(tmp_path),
+             "--port", str(port), "--batch-window-ms", "1500"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        try:
+            for line in proc.stdout:  # wait for bind
+                if line.startswith("serving"):
+                    break
+            else:
+                pytest.fail("server exited before serving")
+
+            result = {}
+
+            def slow_request():
+                img = np.zeros((1, 3, 16, 16), np.uint8).tolist()
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+                conn.request("POST", "/predict", json.dumps({"images": img}),
+                             {"Content-Type": "application/json"})
+                result["status"] = conn.getresponse().status
+                conn.close()
+
+            t = threading.Thread(target=slow_request)
+            t.start()
+            time.sleep(0.5)  # request is inside the 1.5 s batch window
+            proc.send_signal(signal.SIGTERM)
+            t.join(timeout=60)
+            out, _ = proc.communicate(timeout=60)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+        assert result.get("status") == 200, (result, out[-2000:])
+        assert proc.returncode == 0, out[-2000:]
+        assert "drained; exiting" in out
+
+
 class TestConcurrency:
     def test_parallel_clients_all_succeed(self, server):
         """ThreadingHTTPServer + the service lock: 8 concurrent predicts all
