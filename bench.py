@@ -54,6 +54,40 @@ def chip_hbm_bw() -> float:
     return _chip_lookup(HBM_BW)
 
 
+def _wait_for_backend() -> None:
+    """Probe the backend in a SUBPROCESS before touching jax in-process.
+
+    The tunneled TPU backend can be down for hours, and an in-process
+    ``jax.devices()`` then hangs unkillably — no JSON line, no error.  The
+    probe times out cleanly instead; on failure we retry within a bounded
+    budget (``NVIT_BENCH_WAIT_S``, default 2 h — a transient outage at bench
+    time shouldn't cost the measurement) and then exit nonzero with a clear
+    message.  Instant on CPU or a healthy chip (~seconds).
+    """
+    import os
+    import subprocess
+    import time
+
+    budget = float(os.environ.get("NVIT_BENCH_WAIT_S", "7200"))
+    deadline = time.monotonic() + budget
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True, timeout=600,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print("bench: TPU backend unreachable within NVIT_BENCH_WAIT_S; "
+                  "not benchmarking", file=sys.stderr)
+            sys.exit(2)
+        print("bench: backend probe failed; retrying in 5 min", file=sys.stderr)
+        time.sleep(300)
+
+
 def main() -> None:
     # one TPU-touching process at a time: two deadlock on the single-chip
     # claim (CLAUDE.md), so the bench serializes with any in-flight evidence
@@ -61,6 +95,7 @@ def main() -> None:
     from nvit_tpu.utils import acquire_tpu_lock
 
     _lock = acquire_tpu_lock()  # noqa: F841 - held until process exit
+    _wait_for_backend()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import flagship_config
