@@ -167,6 +167,14 @@ class SystemConfig:
     device: str = "tpu"  # tpu | cpu (jax platform hint; informational)
     dtype: str = "bfloat16"
     use_ddp: bool = True  # enable data-parallel sharding over the mesh
+    # tensor-parallel axis size of the (data × model) mesh; 1 = pure DP.
+    # device_count must be divisible by it (parallel/mesh.py::make_mesh)
+    model_parallel: int = 1
+    # ZeRO-3-style FSDP: shard trunk weights + AdamW moments over the data
+    # axis (renorm-free axis; parallel/mesh.py module docstring).  Composes
+    # with model_parallel — per-device param/moment memory scales down with
+    # BOTH axes.  No effect on single-device runs
+    fsdp: bool = False
     compile: bool = True  # kept for settings parity; jit is always on unless jit=False
     jit: bool = True
     backend: str = "ici"  # ≙ "nccl"; informational — XLA collectives ride ICI/DCN

@@ -6,6 +6,7 @@ from nvit_tpu.parallel.mesh import (
     param_specs,
     replicated,
     shard_batch,
+    shard_opt_state,
     shard_params,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "param_specs",
     "replicated",
     "shard_batch",
+    "shard_opt_state",
     "shard_params",
 ]

@@ -15,10 +15,21 @@ Axes:
   sharded over it (Megatron-style column→row split).  Not required for
   reference parity (SURVEY.md §2.3) but the mesh/rules support it natively.
 
-The TP layout is chosen so the nViT per-step weight renorm needs NO
-cross-shard communication: matrices normalized along their input axis
+FSDP (``fsdp=True``, ≙ ZeRO-3): the transformer-trunk weights AND their
+AdamW moments additionally shard over the ``data`` axis, so per-device
+parameter+optimizer memory scales down with data parallelism.  There is no
+hand-written gather/scatter machinery: the specs below are plain GSPMD
+sharding annotations, and the XLA partitioner inserts the per-use weight
+all-gathers (forward and backward) and emits gradients as reduce-scatters
+directly into the param sharding — the idiomatic TPU formulation of FSDP
+(scaling-book recipe: annotate, let XLA insert collectives).
+
+The TP and FSDP layouts are chosen so the nViT per-step weight renorm needs
+NO cross-shard communication: matrices normalized along their input axis
 (query/key/value/c_fc, axis 0) are sharded only over their output axis, and
-vice versa for the output projections (see ops/renorm.py).
+vice versa for the output projections (see ops/renorm.py).  FSDP shards the
+SAME (renorm-free) axis as TP, just over ``data`` as well, so the in-step
+renorm stays local under every topology.
 """
 
 from __future__ import annotations
@@ -51,13 +62,14 @@ def batch_spec() -> P:
     return P(DATA_AXIS)
 
 
-def block_param_specs(use_nvit: bool) -> Params:
+def block_param_specs(use_nvit: bool, fsdp: bool = False) -> Params:
     """PartitionSpecs for one transformer block (Megatron-style TP).
 
     qkv/c_fc: column-parallel (shard the OUT axis → model);
     output projections: row-parallel (shard the IN axis → model);
     per-channel scale vectors follow the axis they broadcast against where
-    sharded, else replicated.
+    sharded, else replicated.  With ``fsdp`` the same weight axis also shards
+    over ``data`` (ZeRO-3; the renorm axis stays unsharded — module docstring).
 
     Known TP nuance: the gated MLP splits c_fc's output columns into the
     contiguous u|v halves (reference weight layout, model.py:148-151), so a
@@ -67,8 +79,9 @@ def block_param_specs(use_nvit: bool) -> Params:
     halves per shard — deferred until real multi-chip hardware is available
     to measure it.
     """
-    col = {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)}
-    row = {"w": P(MODEL_AXIS, None), "b": P()}
+    out_axes = (MODEL_AXIS, DATA_AXIS) if fsdp else MODEL_AXIS
+    col = {"w": P(None, out_axes), "b": P(out_axes)}
+    row = {"w": P(out_axes, None), "b": P()}
     specs: Params = {
         "query": col,
         "key": col,
@@ -92,7 +105,7 @@ def block_param_specs(use_nvit: bool) -> Params:
     return specs
 
 
-def param_specs(params: Params, use_nvit: bool) -> Params:
+def param_specs(params: Params, use_nvit: bool, fsdp: bool = False) -> Params:
     """Full-model PartitionSpec tree matching ``init_vit``'s structure.
 
     Everything outside the transformer trunk is replicated — patch embeds,
@@ -104,7 +117,7 @@ def param_specs(params: Params, use_nvit: bool) -> Params:
         return jax.tree_util.tree_map(lambda _: P(), tree)
 
     specs = {k: replicate(v) for k, v in params.items() if k != "blocks"}
-    block_spec = block_param_specs(use_nvit)
+    block_spec = block_param_specs(use_nvit, fsdp=fsdp)
 
     def prune(spec_tree, param_tree):
         # drop spec entries for params that don't exist (e.g. no bias)
@@ -116,14 +129,36 @@ def param_specs(params: Params, use_nvit: bool) -> Params:
     return specs
 
 
-def shard_params(params: Params, mesh: Mesh, use_nvit: bool) -> Params:
-    """Place the parameter tree onto the mesh according to the TP/replication
-    rules (≙ DDP's initial parameter broadcast)."""
-    specs = param_specs(params, use_nvit)
+def shard_params(params: Params, mesh: Mesh, use_nvit: bool, fsdp: bool = False) -> Params:
+    """Place the parameter tree onto the mesh according to the TP/FSDP/
+    replication rules (≙ DDP's initial parameter broadcast)."""
+    specs = param_specs(params, use_nvit, fsdp=fsdp)
     shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
     )
     return jax.device_put(params, shardings)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh, use_nvit: bool, fsdp: bool = False) -> Any:
+    """Place the AdamW moments on the mesh exactly like their parameters.
+
+    Under FSDP this is the ZeRO optimizer-state shard: mu/nu memory scales
+    down with the data axis.  Under plain TP/DP it pins the moments to the
+    param layout instead of leaving their placement to propagation.  The
+    moments are params-shaped trees (train/optim.py::FusedAdamWState), so the
+    param specs apply directly; optimizer states without mu/nu pass through.
+    """
+    if not (hasattr(opt_state, "mu") and hasattr(opt_state, "nu")):
+        return opt_state
+
+    def put(tree):
+        specs = param_specs(tree, use_nvit, fsdp=fsdp)
+        shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
+        )
+        return jax.device_put(tree, shardings)
+
+    return opt_state._replace(mu=put(opt_state.mu), nu=put(opt_state.nu))
 
 
 def shard_batch(batch: Array, mesh: Mesh) -> Array:

@@ -47,7 +47,7 @@ from nvit_tpu.obs.metrics import (
     setup_logging,
     write_stat_line,
 )
-from nvit_tpu.parallel.mesh import batch_spec, make_mesh, shard_params
+from nvit_tpu.parallel.mesh import batch_spec, make_mesh, shard_opt_state, shard_params
 from nvit_tpu.train.state import TrainState, create_train_state
 from nvit_tpu.train.step import make_eval_step, make_train_step
 
@@ -73,10 +73,17 @@ class Trainer:
         # --- distributed setup (≙ setup_distributed, train.py:197-243) ------
         self.mesh = None
         if cfg.system.use_ddp and jax.device_count() > 1:
-            self.mesh = make_mesh()
+            self.mesh = make_mesh(model_parallel=cfg.system.model_parallel)
             self.logger.info(
-                "SPMD mesh initialized: %s devices (data=%d, model=%d)",
+                "SPMD mesh initialized: %s devices (data=%d, model=%d%s)",
                 jax.device_count(), self.mesh.shape["data"], self.mesh.shape["model"],
+                ", fsdp" if cfg.system.fsdp else "",
+            )
+        if self.mesh is None and cfg.system.model_parallel > 1:
+            raise ValueError(
+                f"model_parallel={cfg.system.model_parallel} requires a multi-device "
+                f"mesh ({jax.device_count()} device(s) visible, use_ddp="
+                f"{cfg.system.use_ddp})"
             )
         self.batch_sharding = (
             jax.sharding.NamedSharding(self.mesh, batch_spec()) if self.mesh is not None else None
@@ -96,18 +103,18 @@ class Trainer:
             cfg.data.checkpoint_backend == "npz"
             and jax.process_count() > 1
             and self.mesh is not None
-            and self.mesh.shape["model"] > 1
+            and (self.mesh.shape["model"] > 1 or cfg.system.fsdp)
         ):
             try:
                 import orbax.checkpoint  # noqa: F401
             except ImportError as e:
                 raise ValueError(
-                    "checkpoint_backend='npz' cannot save model-parallel state that "
-                    "spans hosts (arrays are not fully addressable); set "
+                    "checkpoint_backend='npz' cannot save model-parallel/FSDP state "
+                    "that spans hosts (arrays are not fully addressable); set "
                     "data.checkpoint_backend='orbax' (orbax-checkpoint not importable)"
                 ) from e
             self.logger.warning(
-                "multi-host model-parallel run: npz checkpoints cannot gather "
+                "multi-host model-parallel/FSDP run: npz checkpoints cannot gather "
                 "non-addressable shards — auto-selecting the orbax backend"
             )
             cfg = dataclasses.replace(
@@ -194,7 +201,16 @@ class Trainer:
 
         if self.mesh is not None:
             self.state = self.state._replace(
-                params=shard_params(self.state.params, self.mesh, cfg.model.use_nvit)
+                params=shard_params(
+                    self.state.params, self.mesh, cfg.model.use_nvit,
+                    fsdp=cfg.system.fsdp,
+                ),
+                # moments follow the param layout (ZeRO under fsdp; explicit
+                # placement instead of propagation-chosen either way)
+                opt_state=shard_opt_state(
+                    self.state.opt_state, self.mesh, cfg.model.use_nvit,
+                    fsdp=cfg.system.fsdp,
+                ),
             )
 
         # jitted steps (≙ torch.compile; jit=False is the debug escape hatch).

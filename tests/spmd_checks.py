@@ -109,16 +109,22 @@ def gated_mlp_grads(with_bias: bool) -> None:
         )
 
 
-def full_flash_train_step() -> None:
+def full_flash_train_step(fsdp: bool = False) -> None:
     """The regression that motivated the shard_map dispatch: a flash_attn=True
     train step jitted over a multi-device mesh.  Without it this crashes at
     lowering on real TPUs (Mosaic: 'cannot be automatically partitioned');
-    here we assert it runs AND matches the XLA-path step numerically."""
+    here we assert it runs AND matches the XLA-path step numerically.
+
+    With ``fsdp`` the trunk params + moments are additionally ZeRO-sharded
+    over the data axis (parallel/mesh.py) — the kernels' shard_map specs
+    declare weights replicated, so GSPMD must all-gather the FSDP shards at
+    the shard_map boundary; this asserts that composition stays exact."""
     import dataclasses
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from nvit_tpu.configs.loader import load_config
+    from nvit_tpu.parallel.mesh import shard_opt_state, shard_params
     from nvit_tpu.train import create_train_state, make_train_step
 
     mesh = make_mesh()  # dp8
@@ -132,6 +138,11 @@ def full_flash_train_step() -> None:
         "data": {"dataset": "synthetic"},
     })
     state = create_train_state(cfg)
+    if fsdp:
+        state = state._replace(
+            params=shard_params(state.params, mesh, use_nvit=True, fsdp=True),
+            opt_state=shard_opt_state(state.opt_state, mesh, use_nvit=True, fsdp=True),
+        )
     imgs = jax.random.normal(jax.random.PRNGKey(8), (8, 3, 16, 16), jnp.float32)
     labels = jax.random.randint(jax.random.PRNGKey(9), (8,), 0, 10)
     bsh = NamedSharding(mesh, P("data"))
@@ -159,6 +170,7 @@ CHECKS = {
     "gated_mlp_grads": lambda: gated_mlp_grads(False),
     "gated_mlp_grads_bias": lambda: gated_mlp_grads(True),
     "full_flash_train_step": full_flash_train_step,
+    "full_flash_train_step_fsdp": lambda: full_flash_train_step(fsdp=True),
 }
 
 
