@@ -78,13 +78,22 @@ def _wait_for_backend() -> None:
             )
             if r.returncode == 0:
                 return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            tail = err[-1] if err else f"exit {r.returncode} with no stderr"
+            # a broken environment is permanent — retrying for 2 h hides the
+            # actual fix (e.g. PYTHONPATH dropped /root/.axon_site, CLAUDE.md)
+            if "not in the list of known backends" in tail:
+                print(f"bench: backend misconfigured, not retrying: {tail}",
+                      file=sys.stderr)
+                sys.exit(2)
         except subprocess.TimeoutExpired:
-            pass
+            tail = "probe timed out after 600 s (tunnel hang)"
         if time.monotonic() >= deadline:
             print("bench: TPU backend unreachable within NVIT_BENCH_WAIT_S; "
-                  "not benchmarking", file=sys.stderr)
+                  f"not benchmarking (last probe: {tail})", file=sys.stderr)
             sys.exit(2)
-        print("bench: backend probe failed; retrying in 5 min", file=sys.stderr)
+        print(f"bench: backend probe failed ({tail}); retrying in 5 min",
+              file=sys.stderr)
         time.sleep(300)
 
 

@@ -150,15 +150,10 @@ def shard_opt_state(opt_state: Any, mesh: Mesh, use_nvit: bool, fsdp: bool = Fal
     """
     if not (hasattr(opt_state, "mu") and hasattr(opt_state, "nu")):
         return opt_state
-
-    def put(tree):
-        specs = param_specs(tree, use_nvit, fsdp=fsdp)
-        shardings = jax.tree_util.tree_map(
-            lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
-        )
-        return jax.device_put(tree, shardings)
-
-    return opt_state._replace(mu=put(opt_state.mu), nu=put(opt_state.nu))
+    return opt_state._replace(
+        mu=shard_params(opt_state.mu, mesh, use_nvit, fsdp=fsdp),
+        nu=shard_params(opt_state.nu, mesh, use_nvit, fsdp=fsdp),
+    )
 
 
 def shard_batch(batch: Array, mesh: Mesh) -> Array:

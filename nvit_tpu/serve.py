@@ -266,9 +266,14 @@ class InferenceService:
         self.predict(np.zeros((1, *self._shape), dtype=np.uint8))
         if all_buckets and not self._pinned:
             b = 2
-            while b <= self.max_batch:
+            while b < self.max_batch:
                 self._padded_probs(np.zeros((b, *self._shape), dtype=np.uint8))
                 b *= 2
+            # _pad_batch clamps its top bucket to max_batch itself, so that
+            # shape is live whether or not max_batch is a power of two —
+            # skipping it would leave exactly the first-request stall this
+            # flag exists to prevent
+            self._padded_probs(np.zeros((self.max_batch, *self._shape), dtype=np.uint8))
         # warmup compiles would dominate the latency percentiles — /stats
         # should describe live traffic only
         self.stats = ServingStats()
@@ -318,7 +323,12 @@ class InferenceService:
             images, _ = _pad_batch(images, self.max_batch)
         with self._lock:
             probs = np.asarray(self.predictor.predict_probs(images))
-        self.stats.record_program(b, images.shape[0])
+        # the Predictor pads AGAIN to a device multiple under --data-parallel
+        # (infer.py::predict_probs) — count those rows too, or the padding
+        # metric reads 0 while the device runs n_devices× the request
+        m = getattr(self.predictor, "_batch_multiple", 1)
+        device_rows = -(-images.shape[0] // m) * m
+        self.stats.record_program(b, device_rows)
         return probs[:b]
 
     def predict(self, images: np.ndarray, top_k: int = 1) -> dict:

@@ -85,6 +85,15 @@ class Trainer:
                 f"mesh ({jax.device_count()} device(s) visible, use_ddp="
                 f"{cfg.system.use_ddp})"
             )
+        if self.mesh is None and cfg.system.fsdp:
+            # not an error (fsdp on one device is a no-op, and configs are
+            # shared across host sizes) — but the user enabled it for memory
+            # savings they will NOT get, so say so loudly
+            self.logger.warning(
+                "system.fsdp requested but no multi-device mesh formed "
+                "(%d device(s), use_ddp=%s) — training with fully replicated "
+                "params/moments", jax.device_count(), cfg.system.use_ddp,
+            )
         self.batch_sharding = (
             jax.sharding.NamedSharding(self.mesh, batch_spec()) if self.mesh is not None else None
         )

@@ -32,7 +32,11 @@ done
 
 run() { # name script timeout
   echo "=== $1 start $(date)" >> "$LOG"
-  timeout "$3" python "$2" >> "$LOG" 2>&1
+  # bench.py's internal backend-wait (NVIT_BENCH_WAIT_S, default 2 h) must
+  # stay inside the wrapping timeout, or a mid-run tunnel drop ends as an
+  # opaque rc=124 kill instead of bench's clean "unreachable" exit 2; the
+  # queue itself is the retry layer, so keep the in-process wait short
+  NVIT_BENCH_WAIT_S=600 timeout "$3" python "$2" >> "$LOG" 2>&1
   echo "=== $1 rc=$? $(date)" | tee -a "$LOG"
 }
 

@@ -167,3 +167,8 @@ def test_trainer_model_parallel_knob(tmp_path):
 
     with pytest.raises(ValueError, match="model_parallel"):
         Trainer(config=_trainer_cfg(tmp_path, use_ddp=False, model_parallel=2))
+
+    # fsdp without a mesh is a warned no-op, not an error (configs are shared
+    # across host sizes; on one device there is nothing to shard)
+    t3 = Trainer(config=_trainer_cfg(tmp_path, use_ddp=False, fsdp=True))
+    assert t3.mesh is None
