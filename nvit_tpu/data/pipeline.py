@@ -58,14 +58,14 @@ def epoch_indices(
 def iterate_array(
     ds: ArrayDataset, *, batch_size: int, epoch: int = 0, seed: int = 42,
     shuffle: bool = True, drop_last: bool = True,
-    shard_index: int = 0, shard_count: int = 1,
+    shard_index: int = 0, shard_count: int = 1, start_batch: int = 0,
 ) -> Iterator[Batch]:
     from nvit_tpu.data import native
 
     idx = epoch_indices(len(ds), epoch=epoch, seed=seed, shuffle=shuffle,
                         shard_index=shard_index, shard_count=shard_count)
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
-    for start in range(0, end, batch_size):
+    for start in range(start_batch * batch_size, end, batch_size):
         sel = idx[start : start + batch_size]
         # multithreaded memcpy gather (native C++), numpy fallback inside
         yield native.gather_rows(ds.images, sel), ds.labels[sel]
@@ -74,14 +74,14 @@ def iterate_array(
 def iterate_folder(
     ds: ImageFolderDataset, *, batch_size: int, epoch: int = 0, seed: int = 42,
     shuffle: bool = True, drop_last: bool = True, num_workers: int = 4,
-    shard_index: int = 0, shard_count: int = 1,
+    shard_index: int = 0, shard_count: int = 1, start_batch: int = 0,
 ) -> Iterator[Batch]:
     """Threaded decode pipeline for JPEG-folder datasets (≙ DataLoader
     num_workers, train.py:339).  Decodes `num_workers` batches ahead."""
     idx = epoch_indices(len(ds), epoch=epoch, seed=seed, shuffle=shuffle,
                         shard_index=shard_index, shard_count=shard_count)
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
-    starts = list(range(0, end, batch_size))
+    starts = list(range(start_batch * batch_size, end, batch_size))
     if not starts:
         return
 
@@ -110,16 +110,23 @@ def iterate_folder(
 def make_epoch_iterator(
     ds, *, batch_size: int, epoch: int, seed: int, shuffle: bool, drop_last: bool = True,
     num_workers: int = 4, shard_index: int = 0, shard_count: int = 1,
+    start_batch: int = 0,
 ) -> Iterator[Batch]:
+    """``start_batch`` skips the first N batches of the (deterministic,
+    epoch-seeded) order without decoding them — mid-epoch resume lands on
+    the exact batch the interrupted launch would have seen next, so the
+    training batch sequence is a pure function of iter_num across
+    relaunches (the reference replays the epoch from its start,
+    train.py:885)."""
     if isinstance(ds, ImageFolderDataset):
         return iterate_folder(
             ds, batch_size=batch_size, epoch=epoch, seed=seed, shuffle=shuffle,
             drop_last=drop_last, num_workers=num_workers,
-            shard_index=shard_index, shard_count=shard_count,
+            shard_index=shard_index, shard_count=shard_count, start_batch=start_batch,
         )
     return iterate_array(
         ds, batch_size=batch_size, epoch=epoch, seed=seed, shuffle=shuffle, drop_last=drop_last,
-        shard_index=shard_index, shard_count=shard_count,
+        shard_index=shard_index, shard_count=shard_count, start_batch=start_batch,
     )
 
 

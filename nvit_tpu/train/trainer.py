@@ -287,7 +287,8 @@ class Trainer:
         )
         self.steps_per_epoch = max(1, len(self.trainset) // cfg.training.batch_size)
 
-    def _epoch_iter(self, ds, *, epoch: int, shuffle: bool, drop_last: bool = True):
+    def _epoch_iter(self, ds, *, epoch: int, shuffle: bool, drop_last: bool = True,
+                    start_batch: int = 0):
         nproc = jax.process_count()
         it = make_epoch_iterator(
             # multi-host: each process loads a strided 1/P shard of each
@@ -299,6 +300,7 @@ class Trainer:
             drop_last=drop_last or nproc > 1,
             num_workers=self.cfg.data.num_workers,
             shard_index=jax.process_index(), shard_count=nproc,
+            start_batch=start_batch,
         )
         return device_prefetch(it, size=self.cfg.data.prefetch, sharding=self.batch_sharding)
 
@@ -397,7 +399,14 @@ class Trainer:
                 and not self._time_limit_reached(tlaunch)
                 and not self.finished
             ):
-                for imgs_u8, labels in self._epoch_iter(self.trainset, epoch=epoch, shuffle=True):
+                # mid-epoch resume: skip the batches the interrupted launch
+                # already trained on, so the batch sequence is a pure
+                # function of iter_num across relaunches (the reference
+                # replays the epoch from its start on every launch)
+                for imgs_u8, labels in self._epoch_iter(
+                    self.trainset, epoch=epoch, shuffle=True,
+                    start_batch=self.iter_num - epoch * self.steps_per_epoch,
+                ):
                     if (
                         local_iter >= cfg.training.max_iters_per_launch
                         or self.iter_num >= cfg.training.max_iters

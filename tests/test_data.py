@@ -61,6 +61,24 @@ class TestPipeline:
         np.testing.assert_array_equal(e0a[1], e0b[1])
         assert not np.array_equal(e0a[1], e1[1])
 
+    def test_start_batch_resumes_mid_epoch_exactly(self):
+        """start_batch=k yields exactly the tail of the same epoch order —
+        the mid-epoch resume contract (trainer skips already-trained
+        batches instead of replaying the epoch)."""
+        ds = make_synthetic(num_examples=70, image_size=8, num_classes=4)
+        full = list(make_epoch_iterator(ds, batch_size=16, epoch=2, seed=1, shuffle=True))
+        tail = list(
+            make_epoch_iterator(ds, batch_size=16, epoch=2, seed=1, shuffle=True, start_batch=2)
+        )
+        assert len(tail) == len(full) - 2
+        for (ia, la), (ib, lb) in zip(tail, full[2:]):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(la, lb)
+        # past the end → empty, not an error
+        assert list(
+            make_epoch_iterator(ds, batch_size=16, epoch=2, seed=1, shuffle=True, start_batch=99)
+        ) == []
+
     def test_device_prefetch_yields_all(self):
         ds = make_synthetic(num_examples=64, image_size=8, num_classes=4)
         it = make_epoch_iterator(ds, batch_size=16, epoch=0, seed=1, shuffle=False)

@@ -1,6 +1,7 @@
 """Integration tests: Trainer end-to-end on synthetic data (CPU), checkpoint
 save/resume roundtrip, validate_only, early stopping, relaunch protocol."""
 
+import jax
 import dataclasses
 import json
 
@@ -317,6 +318,38 @@ class TestTrainerEndToEnd:
         t = Trainer(config=cfg)
         t.train()
         assert t.iter_num == 6
+
+
+class TestMidEpochResumeDeterminism:
+    def test_split_run_matches_single_run(self, tmp_path):
+        """6 iters in one launch ≡ 3+3 across a relaunch: mid-epoch resume
+        skips the already-trained batches (start_batch), so the training
+        batch sequence — and therefore the final params — is a pure function
+        of iter_num.  The reference replays the epoch from its start on
+        every launch (train.py:885), silently double-training early batches."""
+        cfg_a = make_cfg(tmp_path / "a")
+        ta = Trainer(config=cfg_a)
+        ta.train()
+        assert ta.iter_num == 6
+
+        cfg_b = make_cfg(tmp_path / "b", training=dataclasses.replace(
+            cfg_a.training, max_iters_per_launch=3))
+        tb1 = Trainer(config=cfg_b)
+        tb1.train()
+        assert tb1.iter_num == 3
+        cfg_b2 = dataclasses.replace(
+            cfg_b,
+            training=dataclasses.replace(cfg_b.training, init_from="resume"),
+            data=dataclasses.replace(cfg_b.data, checkpoint_dir=str(tmp_path / "b" / "out")),
+        )
+        tb2 = Trainer(config=cfg_b2)
+        tb2.train()
+        assert tb2.iter_num == 6
+
+        a_leaves = jax.tree_util.tree_leaves(ta.state.params)
+        b_leaves = jax.tree_util.tree_leaves(tb2.state.params)
+        for x, y in zip(a_leaves, b_leaves):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7)
 
 
 class TestRelaunchProtocol:
