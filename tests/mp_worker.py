@@ -9,7 +9,10 @@ train.py:220-231).  Invoked as:
 mode = "train" (default) runs 4 iters and exits; "orbax" trains with the
 orbax checkpoint backend (a COLLECTIVE multi-host save — every process
 writes its addressable shards), then resumes from it in-process and trains
-2 more iters (VERDICT r2 next #2); "flash" forces the Pallas-kernel
+2 more iters (VERDICT r2 next #2); "fsdp" trains with system.fsdp over the
+cross-process mesh while CONFIGURED for npz — the trainer must auto-select
+orbax (npz cannot gather non-addressable FSDP shards), keep the ZeRO layout
+(asserted per-device), save collectively, and resume; "flash" forces the Pallas-kernel
 dispatch (flash_attn=true, _on_tpu monkeypatched, kernels run under the
 generic interpreter) so the shard_map kernel wrap (parallel/spmd.py) is
 exercised over a mesh that SPANS PROCESS BOUNDARIES — each process
@@ -61,20 +64,37 @@ def main() -> None:
             eval_interval=1000, log_interval=2, eval_iters=1,
         ),
         optimizer=OptimizerConfig(learning_rate=1e-3, warmup_iters=2, lr_decay_iters=100),
-        system=SystemConfig(use_ddp=True, use_tqdm=False, dtype="float32", use_amp=False),
+        system=SystemConfig(
+            use_ddp=True, use_tqdm=False, dtype="float32", use_amp=False,
+            fsdp=(mode == "fsdp"),
+        ),
         data=DataConfig(
             out_dir=outdir, dataset="synthetic", data_dir=outdir + "/data",
+            # "fsdp" deliberately configures npz: the trainer must auto-select
+            # orbax (npz cannot gather non-addressable cross-host shards)
             checkpoint_backend="orbax" if mode == "orbax" else "npz",
             augmentation=AugmentationConfig(enabled=False),
         ),
     )
     t = Trainer(config=cfg)
     assert jax.process_count() == nproc, (jax.process_count(), nproc)
+    if mode == "fsdp":
+        assert t.cfg.data.checkpoint_backend == "orbax", t.cfg.data.checkpoint_backend
     t.train()
     assert t.iter_num == 4, t.iter_num
+    if mode == "fsdp":
+        # ZeRO layout held through training: this process's addressable shard
+        # of a trunk weight is 1/(total devices) of the columns
+        w = t.state.params["blocks"][0]["c_fc"]["w"]
+        got = w.addressable_shards[0].data.shape[1]
+        want = w.shape[1] // jax.device_count()
+        assert got == want, (got, want, w.sharding)
+        mu = t.state.opt_state.mu["blocks"][0]["c_fc"]["w"]
+        assert mu.addressable_shards[0].data.shape[1] == want, mu.sharding
+        print(f"RANK{rank}_FSDP_SHARDED", flush=True)
     print(f"RANK{rank}_DONE iter={t.iter_num}", flush=True)
 
-    if mode == "orbax":
+    if mode in ("orbax", "fsdp"):
         # every process resumes from the collectively-written orbax checkpoint
         cfg2 = dataclasses.replace(
             cfg,

@@ -171,3 +171,26 @@ def test_two_process_orbax_save_and_resume(tmp_path):
     assert (outdir / "checkpoint_latest.json").exists()
     # npz files must NOT exist — the orbax backend handled all tensor IO
     assert not (outdir / "checkpoint_latest.npz").exists()
+
+
+def test_two_process_fsdp_auto_orbax_and_resume(tmp_path):
+    """FSDP over a mesh that spans 2 real processes: trunk params/moments are
+    ZeRO-sharded across hosts (asserted per-device in the worker), the
+    trainer AUTO-SELECTS orbax from an npz config (npz cannot gather
+    non-addressable shards — the guard must fire, not crash at first save),
+    the collective save completes, and both ranks resume and keep training."""
+    import importlib.util
+
+    if importlib.util.find_spec("orbax") is None:  # pragma: no cover
+        import pytest
+
+        pytest.skip("orbax-checkpoint not installed")
+    outdir = tmp_path / "fsdp_mp"
+    outdir.mkdir()
+    outs = _run_workers(2, outdir, devices_per_proc=2, mode="fsdp")
+    for r in range(2):
+        assert f"RANK{r}_FSDP_SHARDED" in outs[r]
+        assert f"RANK{r}_DONE iter=4" in outs[r]
+        assert f"RANK{r}_ORBAX_RESUMED iter=6" in outs[r]
+    assert (outdir / "checkpoint_latest.orbax").exists()
+    assert not (outdir / "checkpoint_latest.npz").exists()
