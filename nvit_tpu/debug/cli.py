@@ -30,9 +30,27 @@ logger = logging.getLogger("nvit_tpu.debug")
 
 
 def fixture_image(size: int = 32, channels: int = 3) -> np.ndarray:
-    """Deterministic structured test image (≙ the reference's cat.png fixture,
-    debug.py:274): radial gradient + stripes + per-channel phase so patches,
-    reconstructions and SOM activations are visually distinguishable."""
+    """Test image (≙ the reference's cat.png fixture, debug.py:274).
+
+    Prefers a REAL photograph — scikit-learn's bundled sample images need no
+    downloads (zero-egress-safe), and a natural image gives the patch grid,
+    reconstructions and SOM activations realistic statistics like the
+    reference's cat.  Falls back to a deterministic procedural image
+    (radial gradient + stripes + per-channel phase) when sklearn or an RGB
+    request is unavailable."""
+    if channels == 3:
+        try:
+            from sklearn.datasets import load_sample_images
+
+            photo = load_sample_images().images[0]  # china.jpg, [H, W, 3] uint8
+            h, w = photo.shape[:2]
+            crop = min(h, w)
+            photo = photo[(h - crop) // 2 : (h + crop) // 2, (w - crop) // 2 : (w + crop) // 2]
+            # nearest-neighbor resize to [C, size, size] (no PIL dependency)
+            sel = (np.arange(size) * crop // size).astype(np.int64)
+            return photo[sel][:, sel].transpose(2, 0, 1).astype(np.uint8).copy()
+        except ImportError:
+            pass
     ys, xs = np.mgrid[0:size, 0:size].astype(np.float32) / size
     img = np.zeros((channels, size, size), dtype=np.float32)
     for c in range(channels):
