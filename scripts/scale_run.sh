@@ -35,7 +35,7 @@ if [ "${NCHIPS}" -lt 2 ]; then
 fi
 
 OUT="out/scale_nvitl_dp${NCHIPS}"
-echo "scale_run: nViT-L/16 dp${NCHIPS}, batch $((12 * NCHIPS)), ${ITERS} iters -> ${OUT}"
+echo "scale_run: nViT-L/16 dp${NCHIPS} (fsdp on by default: ZeRO-sharded params+moments free ~4.3 GB/chip at this scale), batch $((12 * NCHIPS)), ${ITERS} iters -> ${OUT}"
 
 # every knob is an overridable default so the same launch path can be
 # smoke-tested with a small model (e.g. tests on the virtual CPU mesh)
@@ -55,6 +55,8 @@ NVIT_TRAINING__EVAL_INTERVAL=100 NVIT_TRAINING__LOG_INTERVAL=10 \
 NVIT_TRAINING__EVAL_ITERS=8 \
 NVIT_SYSTEM__USE_DDP=true NVIT_SYSTEM__USE_TQDM=false \
 NVIT_SYSTEM__REMAT=false \
+NVIT_SYSTEM__FSDP="${NVIT_SYSTEM__FSDP:-true}" \
+NVIT_SYSTEM__MODEL_PARALLEL="${NVIT_SYSTEM__MODEL_PARALLEL:-1}" \
 NVIT_DATA__DATASET="${NVIT_DATA__DATASET:-synthetic}" \
 NVIT_DATA__OUT_DIR="${OUT}" \
 python -m nvit_tpu
