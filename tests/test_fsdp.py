@@ -93,6 +93,37 @@ def test_fsdp_step_matches_single_device(model_parallel):
     )
 
 
+def test_fsdp_with_grad_accumulation_matches_single_device():
+    """FSDP under the lax.scan micro-batch loop: every micro-step re-gathers
+    the sharded weights; the accumulated step must still match the unsharded
+    one exactly."""
+    cfg = tiny_config(use_kohonen=False)
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, gradient_accumulation_steps=2)
+    )
+    state = create_train_state(cfg)
+    step_fn = make_train_step(cfg)
+    imgs, labels = batch(0, cfg)
+
+    ref_state, ref_metrics = jax.jit(step_fn)(state, imgs, labels)
+
+    mesh = make_mesh()
+    state_sh = _fsdp_state(state, mesh)
+    with jax.set_mesh(mesh):
+        new_state, metrics = jax.jit(step_fn)(
+            state_sh, shard_batch(imgs, mesh), shard_batch(labels, mesh)
+        )
+    np.testing.assert_allclose(
+        float(metrics["total_loss"]), float(ref_metrics["total_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["blocks"][0]["c_fc"]["w"]),
+        np.asarray(ref_state.params["blocks"][0]["c_fc"]["w"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+
+
 def test_fsdp_layout_survives_steps_and_renorm_holds():
     """Three donated steps: params/moments must STAY data-sharded (the ZeRO
     memory saving is per-step, not just at init) and the in-step renorm must
