@@ -389,10 +389,16 @@ def make_handler(service: InferenceService):
                 length = int(self.headers.get("Content-Length", 0))
                 # bound the allocation BEFORE reading: JSON encodes a pixel in
                 # ≤4 bytes, so anything past this cannot be a valid max_batch
-                # request — reject without buffering it
+                # request — reject without buffering it.  A NEGATIVE length
+                # must also be rejected: rfile.read(-1) reads until EOF,
+                # pinning this handler thread for as long as the client keeps
+                # the socket open
                 limit = service.max_batch * int(np.prod(service._shape)) * 8 + 65536
-                if length > limit:
-                    self._reply(413, {"error": f"body {length} bytes exceeds limit {limit}"})
+                if length <= 0 or length > limit:
+                    self._reply(
+                        413 if length > limit else 400,
+                        {"error": f"Content-Length must be in 1..{limit}, got {length}"},
+                    )
                     return
                 body = self.rfile.read(length)
                 images, top_k = service.parse(body, self.headers.get("Content-Type", ""))
@@ -400,6 +406,12 @@ def make_handler(service: InferenceService):
             except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                 service.stats.record_error()
                 self._reply(400, {"error": str(e)})
+            except Exception as e:  # device/runtime failure → 500, not a TCP reset
+                # predict() already recorded the error; without this the
+                # exception escapes into http.server and the client(s) —
+                # including every rider of a coalesced batch — get an aborted
+                # connection instead of a status line
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

@@ -35,6 +35,18 @@ def server():
     srv.shutdown()
 
 
+@pytest.fixture()
+def server_failing():
+    from http.server import ThreadingHTTPServer
+
+    service = InferenceService(_FakePredictor(fail=True), max_batch=8)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
 def _request(addr, method, path, body=None, content_type="application/json"):
     conn = http.client.HTTPConnection(*addr, timeout=30)
     headers = {"Content-Type": content_type} if body is not None else {}
@@ -156,6 +168,26 @@ class TestEndpoints:
         resp = conn.getresponse()
         assert resp.status == 413
         conn.close()
+
+    def test_negative_content_length_400(self, server):
+        """A negative Content-Length must be rejected up front — rfile.read(-1)
+        would block until the peer closes, pinning the handler thread (and the
+        graceful drain) for as long as the client cares to hold the socket."""
+        conn = http.client.HTTPConnection(*server, timeout=30)
+        conn.request("POST", "/predict", body=b"", headers={"Content-Length": "-1"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+
+    def test_device_failure_returns_500_not_reset(self, server_failing):
+        """A device/runtime failure inside the forward must surface as an HTTP
+        500 with a JSON error — not an aborted connection (every rider of a
+        coalesced batch reads this response)."""
+        img = np.zeros((1, 3, 16, 16), dtype=np.uint8)
+        status, payload = _request(
+            server_failing, "POST", "/predict", json.dumps({"images": img.tolist()})
+        )
+        assert status == 500 and "error" in payload
 
     def test_unknown_path_404(self, server):
         status, _ = _request(server, "GET", "/nope")
