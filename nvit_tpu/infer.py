@@ -37,12 +37,19 @@ def topk_from_probs(probs: np.ndarray, top_k: int) -> tuple[np.ndarray, np.ndarr
 class Predictor:
     def __init__(
         self, params, model_cfg: ViTConfig, *, compute_dtype=jnp.bfloat16,
-        data_parallel: bool = False, quantize: str | None = None,
+        data_parallel: bool = False, model_parallel: int = 1,
+        quantize: str | None = None,
     ):
         """``data_parallel=True`` shards prediction batches over ALL attached
-        devices (params replicated, batch split on a 1-D ``data`` mesh —
+        devices (params replicated, batch split on the ``data`` mesh axis —
         the serving shape for multi-chip TPU hosts).  Batches are padded to a
         device multiple internally; results are identical to single-device.
+
+        ``model_parallel=N`` shards the transformer trunk over a ``model``
+        mesh axis using the SAME Megatron column/row rules as training
+        (parallel/mesh.py) — serves a model whose weights exceed one chip's
+        HBM.  Composes with ``data_parallel`` (a data×model mesh; without it
+        the whole mesh is the model axis).
 
         ``quantize="int8"`` converts every linear to int8 (w8a8, ops/quant.py):
         2x MXU peak and half the weight bytes on TPU, at a small accuracy
@@ -57,13 +64,34 @@ class Predictor:
             params = quantize_vit_params(params)
         self._batch_multiple = 1
         mesh = None
-        if data_parallel:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        if data_parallel or model_parallel > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-            mesh = Mesh(np.array(jax.devices()), ("data",))
-            self._batch_multiple = len(jax.devices())
+            from nvit_tpu.parallel.mesh import make_mesh, shard_params
+
+            n = len(jax.devices())
+            if n % model_parallel:
+                raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+            # without data_parallel, every device goes to the model axis
+            mp = model_parallel if data_parallel else n
+            if not data_parallel and model_parallel not in (1, n):
+                raise ValueError(
+                    f"model_parallel={model_parallel} without data_parallel would idle "
+                    f"{n - model_parallel} of {n} devices; pass data_parallel=True"
+                )
+            mesh = make_mesh(model_parallel=mp)
+            self._batch_multiple = mesh.shape["data"]
             self._in_sharding = NamedSharding(mesh, PartitionSpec("data"))
-            params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+            if mp > 1 and quantize is not None:
+                # the quantized tree carries per-matrix scale leaves the
+                # sharding rules don't describe — refuse rather than silently
+                # serve replicated when the user asked for TP
+                raise ValueError("model_parallel > 1 is not supported with quantize yet")
+            if mp > 1:
+                # trunk weights shard over the model axis (training rules)
+                params = shard_params(params, mesh, use_nvit=model_cfg.use_nvit)
+            else:
+                params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
         else:
             self._in_sharding = None
             # device-put ONCE: checkpoint/export loaders return host numpy

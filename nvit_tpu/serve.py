@@ -431,6 +431,9 @@ def main(argv=None) -> None:
                     help="load a params-only inference export (ckpt.export) instead of a training checkpoint")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard prediction batches over all attached devices (multi-chip hosts)")
+    ap.add_argument("--model-parallel", type=int, default=1,
+                    help="tensor-parallel the transformer trunk over N devices (serves "
+                         "models bigger than one chip's HBM; composes with --data-parallel)")
     ap.add_argument("--int8", action="store_true",
                     help="int8-quantize the model for serving (w8a8, ops/quant.py)")
     ap.add_argument("--aot", action="store_true",
@@ -442,17 +445,18 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     if args.aot:
-        if args.int8 or args.data_parallel or args.export:
+        if args.int8 or args.data_parallel or args.export or args.model_parallel > 1:
             # fail fast: these are export-time properties of an AOT artifact —
             # accepting them here would silently serve something else
             ap.error("--aot is exclusive: bake --int8 into the artifact via "
-                     "ckpt.aot, and --export/--data-parallel do not apply")
+                     "ckpt.aot, and --export/--data-parallel/--model-parallel do not apply")
         from nvit_tpu.ckpt.aot import load_aot
 
         predictor = load_aot(args.checkpoint, args.name)
     else:
         load = Predictor.from_export if args.export else Predictor.from_checkpoint
         predictor = load(args.checkpoint, args.name, data_parallel=args.data_parallel,
+                         model_parallel=args.model_parallel,
                          quantize="int8" if args.int8 else None)
     service = InferenceService(
         predictor, max_batch=args.max_batch, batch_window_ms=args.batch_window_ms

@@ -105,3 +105,32 @@ def test_predictor_data_parallel_flash_kernels(tmp_path):
         imgs = np.random.RandomState(5).randint(0, 256, (8, 3, 16, 16), dtype=np.uint8)
         got = dp.predict_probs(imgs)
     np.testing.assert_allclose(got, xla_ref.predict_probs(imgs), rtol=1e-4, atol=1e-5)
+
+
+def test_predictor_model_parallel_matches_single_device(tmp_path):
+    """Tensor-parallel serving: the trunk sharded with the training-side
+    Megatron rules (dp4×tp2 and pure tp8) must match single-device probs,
+    and the weights must actually be sharded (the point is fitting a model
+    bigger than one chip's HBM)."""
+    cfg = small_cfg(tmp_path)
+    single = Predictor.from_config(cfg, compute_dtype=None)
+    imgs = np.random.RandomState(7).randint(0, 256, (5, 3, 16, 16), dtype=np.uint8)
+    ref = single.predict_probs(imgs)
+
+    for kw, shards in ((dict(data_parallel=True, model_parallel=2), 2), (dict(model_parallel=8), 8)):
+        tp = Predictor(single.params, cfg.model, compute_dtype=None, **kw)
+        np.testing.assert_allclose(tp.predict_probs(imgs), ref, rtol=1e-5, atol=1e-6)
+        w = tp.params["blocks"][0]["c_fc"]["w"]
+        assert w.addressable_shards[0].data.shape == (w.shape[0], w.shape[1] // shards)
+
+
+def test_predictor_model_parallel_guards(tmp_path):
+    """Idle devices and unsupported combinations are refused up front."""
+    cfg = small_cfg(tmp_path)
+    p = Predictor.from_config(cfg, compute_dtype=None)
+    with pytest.raises(ValueError, match="idle"):
+        Predictor(p.params, cfg.model, model_parallel=2)  # 6 of 8 devices idle
+    with pytest.raises(ValueError, match="divisible"):
+        Predictor(p.params, cfg.model, data_parallel=True, model_parallel=3)
+    with pytest.raises(ValueError, match="quantize"):
+        Predictor(p.params, cfg.model, data_parallel=True, model_parallel=2, quantize="int8")
