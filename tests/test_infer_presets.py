@@ -134,3 +134,24 @@ def test_predictor_model_parallel_guards(tmp_path):
         Predictor(p.params, cfg.model, data_parallel=True, model_parallel=3)
     with pytest.raises(ValueError, match="quantize"):
         Predictor(p.params, cfg.model, data_parallel=True, model_parallel=2, quantize="int8")
+
+
+def test_predictor_model_parallel_flash_kernels(tmp_path):
+    """TP serving on the kernel path: attention heads shard over the model
+    axis inside the shard_mapped Pallas call (parallel/spmd.py) — dp4×tp2
+    predictions must match the single-device XLA path."""
+    import dataclasses
+
+    from tests.kernel_force import force_on_tpu, generic_interpret_mode
+
+    cfg = small_cfg(tmp_path)
+    cfg_flash = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, flash_attn=True))
+    xla_ref = Predictor.from_config(cfg, compute_dtype=None)
+    imgs = np.random.RandomState(9).randint(0, 256, (8, 3, 16, 16), dtype=np.uint8)
+    with force_on_tpu(), generic_interpret_mode():
+        tp = Predictor(
+            xla_ref.params, cfg_flash.model, compute_dtype=None,
+            data_parallel=True, model_parallel=2,
+        )
+        got = tp.predict_probs(imgs)
+    np.testing.assert_allclose(got, xla_ref.predict_probs(imgs), rtol=1e-4, atol=1e-5)
