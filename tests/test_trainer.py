@@ -426,6 +426,67 @@ def test_init_from_wandb_requires_online(tmp_path):
         Trainer(config=cfg)
 
 
+def test_init_from_wandb_full_path(tmp_path, monkeypatch):
+    """init_from='wandb' end-to-end with a fake wandb module: artifact
+    download → checkpoint restore → training continues from the restored
+    iteration (≙ reference load_from_wandb, train.py:360-373)."""
+    import sys
+    import types
+
+    # produce a real checkpoint to serve as the "artifact"
+    cfg = make_cfg(tmp_path)
+    t1 = Trainer(config=cfg)
+    t1.train()
+    art_dir = tmp_path / "artifact"
+    art_dir.mkdir()
+    for f in (tmp_path / "out").glob("checkpoint_best.*"):
+        (art_dir / f.name).write_bytes(f.read_bytes())
+
+    requested = {}
+
+    class _Artifact:
+        def download(self):
+            return str(art_dir)
+
+    class _Api:
+        def artifact(self, name, type):
+            requested["name"], requested["type"] = name, type
+            return _Artifact()
+
+    class _Run:
+        entity, project, id = "team", "proj", "run0"
+
+        def log_code(self, *a, **k):
+            pass
+
+    fake = types.SimpleNamespace(
+        Api=_Api,
+        login=lambda **k: None,
+        init=lambda **k: _Run(),
+        log=lambda *a, **k: None,
+        finish=lambda *a, **k: None,
+        watch=lambda *a, **k: None,
+        run=_Run(),
+        Artifact=lambda *a, **k: types.SimpleNamespace(
+            add_file=lambda *aa, **kk: None, metadata={}
+        ),
+        log_artifact=lambda *a, **k: None,
+    )
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        training=dataclasses.replace(cfg.training, init_from="wandb", max_iters=8),
+        wandb=dataclasses.replace(cfg.wandb, mode="online", artifact_name="team/proj/nvit:latest"),
+        data=dataclasses.replace(cfg.data, out_dir=str(tmp_path / "out2")),
+    )
+    t2 = Trainer(config=cfg2)
+    assert requested == {"name": "team/proj/nvit:latest", "type": "model"}
+    assert t2.iter_num > 0  # restored from the artifact's best checkpoint
+    t2.train()
+    assert t2.iter_num == 8
+
+
 def test_init_from_invalid_raises(tmp_path):
     cfg = make_cfg(tmp_path)
     cfg = dataclasses.replace(
