@@ -468,10 +468,11 @@ def test_init_from_wandb_full_path(tmp_path, monkeypatch):
         watch=lambda *a, **k: None,
         run=_Run(),
         Artifact=lambda *a, **k: types.SimpleNamespace(
-            add_file=lambda *aa, **kk: None, metadata={}
+            name=k.get("name", ""), add_file=lambda *aa, **kk: None, metadata={}
         ),
-        log_artifact=lambda *a, **k: None,
+        log_artifact=lambda art, *a, **k: uploaded.append(art.name),
     )
+    uploaded: list = []
     monkeypatch.setitem(sys.modules, "wandb", fake)
 
     cfg2 = dataclasses.replace(
@@ -485,6 +486,8 @@ def test_init_from_wandb_full_path(tmp_path, monkeypatch):
     assert t2.iter_num > 0  # restored from the artifact's best checkpoint
     t2.train()
     assert t2.iter_num == 8
+    # the best-checkpoint artifact was uploaded (≙ reference train.py:668-707)
+    assert uploaded and uploaded[0].startswith("model-")
 
 
 def test_init_from_invalid_raises(tmp_path):
