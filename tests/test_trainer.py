@@ -490,6 +490,39 @@ def test_init_from_wandb_full_path(tmp_path, monkeypatch):
     assert uploaded and uploaded[0].startswith("model-")
 
 
+def test_train_failure_marks_abnormal_and_advises_on_oom(tmp_path, monkeypatch):
+    """A RESOURCE_EXHAUSTED mid-training must (a) set _abnormal_exit BEFORE
+    cleanup — under multi-host orbax a final collective save from one crashed
+    rank would hang the barrier — and (b) log the OOM remediation advice
+    (≙ reference handle_error, train.py:1154-1173)."""
+    import logging
+
+    cfg = make_cfg(tmp_path)
+    t = Trainer(config=cfg)
+    monkeypatch.setattr(
+        t, "_train_step",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("RESOURCE_EXHAUSTED: oom")),
+    )
+    monkeypatch.setattr(t, "_train_step_norms", t._train_step, raising=False)
+
+    messages: list[str] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            messages.append(record.getMessage())
+
+    # the nvit_tpu logger doesn't propagate to root (its own sinks) — attach
+    h = _Capture(level=logging.ERROR)
+    t.logger.addHandler(h)
+    try:
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            t.train()
+    finally:
+        t.logger.removeHandler(h)
+    assert t._abnormal_exit
+    assert any("OUT OF MEMORY" in m for m in messages)
+
+
 def test_init_from_invalid_raises(tmp_path):
     cfg = make_cfg(tmp_path)
     cfg = dataclasses.replace(
