@@ -10,11 +10,15 @@ import os
 
 from nvit_tpu.train.trainer import main
 
-if __name__ == "__main__":
-    # Multi-host SPMD: set NVIT_MULTIHOST=1 (plus the standard JAX coordinator
-    # env: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or
-    # a TPU-pod metadata environment where initialize() needs no args).
-    # ≙ the reference's torchrun rendezvous (RANK/WORLD_SIZE/MASTER_*).
+
+def cli() -> None:
+    """Console-script entry (`nvit-train`) and ``python -m nvit_tpu`` body.
+
+    Multi-host SPMD: set NVIT_MULTIHOST=1 (plus the standard JAX coordinator
+    env: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or
+    a TPU-pod metadata environment where initialize() needs no args).
+    ≙ the reference's torchrun rendezvous (RANK/WORLD_SIZE/MASTER_*).
+    """
     if os.environ.get("NVIT_MULTIHOST") == "1":
         import jax
 
@@ -30,3 +34,7 @@ if __name__ == "__main__":
         else:
             jax.distributed.initialize()
     main()
+
+
+if __name__ == "__main__":
+    cli()
