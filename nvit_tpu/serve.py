@@ -33,6 +33,9 @@ Design notes (TPU serving):
   (DynamicBatcher).  At B=1 the MXU is utilization-bound — a batch of 32
   costs ~2x a batch of 1, not 32x — so under concurrent load a 2-5 ms window
   multiplies throughput for a bounded latency cost.
+* SIGHUP hot-reloads the checkpoint (build + warm off-path, swap under the
+  lock) — rolling weight updates with zero downtime; on failure the old
+  model keeps serving.
 * stdlib-only (http.server): deploys anywhere the framework runs; any real
   frontend (gunicorn/envoy/…) can sit in front, or import ``make_handler``
   — call ``service.warmup()`` before serving traffic (``main`` does), or the
@@ -178,6 +181,7 @@ class ServingStats:
         self.device_programs = 0
         self.device_images = 0
         self.padded_images = 0
+        self.reloads = 0
         self._lat_ms: list[float] = []
 
     def record_request(self, rows: int, latency_ms: float) -> None:
@@ -191,6 +195,10 @@ class ServingStats:
     def record_error(self) -> None:
         with self._lock:
             self.errors += 1
+
+    def record_reload(self) -> None:
+        with self._lock:
+            self.reloads += 1
 
     def record_program(self, rows: int, padded_rows: int) -> None:
         with self._lock:
@@ -206,6 +214,7 @@ class ServingStats:
                 "images": self.images,
                 "errors": self.errors,
                 "device_programs": self.device_programs,
+                "reloads": self.reloads,
                 "coalesced_images_per_program": (
                     round(self.device_images / self.device_programs, 3)
                     if self.device_programs
@@ -237,8 +246,12 @@ class InferenceService:
     """
 
     def __init__(self, predictor: Predictor, *, max_batch: int = 64,
-                 batch_window_ms: float = 0.0):
+                 batch_window_ms: float = 0.0, builder=None):
         self.predictor = predictor
+        # zero-arg factory re-creating the predictor from its source-of-truth
+        # checkpoint — enables hot reload (SIGHUP in main(), or reload())
+        self._builder = builder
+        self._warm_all = False
         # a concrete-batch AOT artifact accepts exactly one batch size —
         # every request is padded up to it and it caps the accepted batch
         self._pinned = getattr(predictor, "pinned_batch", None)
@@ -263,6 +276,7 @@ class InferenceService:
         power-of-two batch bucket up to max_batch (seconds per bucket on a
         fresh cache) so no live request — including a coalesced batch from
         the dynamic batcher — ever stalls on a first-seen shape."""
+        self._warm_all = bool(all_buckets)
         self.predict(np.zeros((1, *self._shape), dtype=np.uint8))
         if all_buckets and not self._pinned:
             b = 2
@@ -277,6 +291,44 @@ class InferenceService:
         # warmup compiles would dominate the latency percentiles — /stats
         # should describe live traffic only
         self.stats = ServingStats()
+
+    def reload(self, builder=None) -> None:
+        """Hot-swap the model with a freshly built predictor (zero downtime).
+
+        The replacement is built and warmed OFF the serving path — same
+        bucket set the live service was warmed with, so no request after the
+        swap pays a first-seen-shape compile — then swapped under the lock.
+        On any failure the old model keeps serving (the exception propagates
+        to the caller; main()'s SIGHUP thread logs it).  ≙ a rolling weight
+        update without dropping the listener — no reference counterpart
+        (its only inference surface is validate_only).
+        """
+        builder = builder or self._builder
+        if builder is None:
+            raise RuntimeError(
+                "no builder recorded — construct InferenceService(builder=...) "
+                "or pass reload(builder=...)"
+            )
+        new = builder()
+        if getattr(new, "pinned_batch", None) != self._pinned:
+            raise ValueError(
+                f"reloaded artifact pins batch {getattr(new, 'pinned_batch', None)} "
+                f"but the service was built for {self._pinned}"
+            )
+        # warm the replacement before it takes traffic (XLA serializes device
+        # programs, so this only competes for compute, never deadlocks)
+        buckets = [self._pinned] if self._pinned else [1]
+        if self._warm_all and not self._pinned:
+            b = 2
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_batch)
+        for b in buckets:
+            new.predict_probs(np.zeros((b, *self._shape), dtype=np.uint8))
+        with self._lock:
+            self.predictor = new
+        self.stats.record_reload()
 
     def parse(self, body: bytes, content_type: str) -> tuple[np.ndarray, int]:
         """→ (images uint8 [B, C, H, W], top_k)."""
@@ -452,14 +504,18 @@ def main(argv=None) -> None:
                      "ckpt.aot, and --export/--data-parallel/--model-parallel do not apply")
         from nvit_tpu.ckpt.aot import load_aot
 
-        predictor = load_aot(args.checkpoint, args.name)
+        def build():
+            return load_aot(args.checkpoint, args.name)
     else:
-        load = Predictor.from_export if args.export else Predictor.from_checkpoint
-        predictor = load(args.checkpoint, args.name, data_parallel=args.data_parallel,
-                         model_parallel=args.model_parallel,
-                         quantize="int8" if args.int8 else None)
+        def build():
+            load = Predictor.from_export if args.export else Predictor.from_checkpoint
+            return load(args.checkpoint, args.name, data_parallel=args.data_parallel,
+                        model_parallel=args.model_parallel,
+                        quantize="int8" if args.int8 else None)
+
     service = InferenceService(
-        predictor, max_batch=args.max_batch, batch_window_ms=args.batch_window_ms
+        build(), max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        builder=build,
     )
     service.warmup(all_buckets=args.warm_buckets)
 
@@ -486,6 +542,23 @@ def main(argv=None) -> None:
 
     signal.signal(signal.SIGTERM, _drain)
     signal.signal(signal.SIGINT, _drain)
+
+    # SIGHUP → hot weight reload (rolling model update, zero downtime): the
+    # replacement builds + warms on a background thread while the old model
+    # keeps serving, then swaps; on failure the old model stays
+    def _reload_safe():
+        try:
+            service.reload()
+            print(f"reloaded {args.checkpoint}/{args.name}", flush=True)
+        except Exception as e:
+            print(f"reload failed (still serving the previous model): {e}", flush=True)
+
+    def _hup(signum, frame):
+        print("SIGHUP: reloading model", flush=True)
+        threading.Thread(target=_reload_safe, daemon=True).start()
+
+    if hasattr(signal, "SIGHUP"):  # not on Windows
+        signal.signal(signal.SIGHUP, _hup)
 
     print(f"serving {args.checkpoint}/{args.name} on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()

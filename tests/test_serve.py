@@ -447,3 +447,54 @@ class TestConcurrency:
                 server, "POST", "/predict", json.dumps({"images": imgs.tolist()})
             )[1]
             assert payload["labels"] == serial["labels"]
+
+
+class TestHotReload:
+    def test_reload_swaps_model_and_counts(self):
+        """reload() builds+warms the replacement, swaps it in, and /stats
+        counts it; predictions switch to the new model's outputs."""
+        old = _FakePredictor()
+        svc = InferenceService(old, max_batch=8, builder=None)
+
+        new = _FakePredictor()
+        orig = new.predict_probs
+
+        def shifted(images):
+            probs = orig(images)
+            return probs[:, ::-1]  # distinguishable outputs
+
+        new.predict_probs = shifted
+        img = np.zeros((1, 3, 16, 16), dtype=np.uint8)
+        before = svc.predict(img)["labels"][0][0]
+        svc.reload(builder=lambda: new)
+        after = svc.predict(img)["labels"][0][0]
+        assert before != after
+        assert svc.stats.snapshot()["reloads"] == 1
+        assert new.calls, "replacement was not warmed before the swap"
+
+    def test_reload_without_builder_raises(self):
+        svc = InferenceService(_FakePredictor(), max_batch=8)
+        with pytest.raises(RuntimeError, match="builder"):
+            svc.reload()
+
+    def test_reload_pinned_batch_mismatch_refused(self):
+        old = _FakePredictor()
+        old.pinned_batch = 4
+        svc = InferenceService(old, max_batch=8, builder=None)
+        new = _FakePredictor()  # no pin
+        with pytest.raises(ValueError, match="pins batch"):
+            svc.reload(builder=lambda: new)
+
+    def test_reload_failure_keeps_old_model(self):
+        svc = InferenceService(_FakePredictor(), max_batch=8)
+        img = np.zeros((1, 3, 16, 16), dtype=np.uint8)
+        before = svc.predict(img)
+
+        def boom():
+            raise OSError("checkpoint gone")
+
+        with pytest.raises(OSError):
+            svc.reload(builder=boom)
+        after = svc.predict(img)
+        assert before["labels"] == after["labels"]
+        assert svc.stats.snapshot()["reloads"] == 0
