@@ -315,6 +315,18 @@ class InferenceService:
                 f"reloaded artifact pins batch {getattr(new, 'pinned_batch', None)} "
                 f"but the service was built for {self._pinned}"
             )
+        if (new.cfg.image_size, new.cfg.num_classes) != (
+            self.model_info["image_size"], self.model_info["num_classes"]
+        ):
+            # a geometry change would invalidate every client contract
+            # (request shape, top_k bounds) mid-flight — that's a redeploy,
+            # not a reload
+            raise ValueError(
+                f"reloaded model geometry ({new.cfg.image_size}px, "
+                f"{new.cfg.num_classes} classes) differs from the serving "
+                f"contract ({self.model_info['image_size']}px, "
+                f"{self.model_info['num_classes']} classes)"
+            )
         # warm the replacement before it takes traffic (XLA serializes device
         # programs, so this only competes for compute, never deadlocks)
         buckets = [self._pinned] if self._pinned else [1]

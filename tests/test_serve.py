@@ -498,3 +498,15 @@ class TestHotReload:
         after = svc.predict(img)
         assert before["labels"] == after["labels"]
         assert svc.stats.snapshot()["reloads"] == 0
+
+    def test_reload_geometry_change_refused(self):
+        import types
+
+        svc = InferenceService(_FakePredictor(), max_batch=8)
+        new = _FakePredictor()
+        new.cfg = types.SimpleNamespace(
+            image_size=32, num_classes=4, n_layer=1, n_embd=32,
+            use_nvit=True, use_kohonen=False,
+        )
+        with pytest.raises(ValueError, match="geometry"):
+            svc.reload(builder=lambda: new)
