@@ -65,7 +65,7 @@ def iterate_array(
     idx = epoch_indices(len(ds), epoch=epoch, seed=seed, shuffle=shuffle,
                         shard_index=shard_index, shard_count=shard_count)
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
-    for start in range(start_batch * batch_size, end, batch_size):
+    for start in range(max(0, start_batch) * batch_size, end, batch_size):
         sel = idx[start : start + batch_size]
         # multithreaded memcpy gather (native C++), numpy fallback inside
         yield native.gather_rows(ds.images, sel), ds.labels[sel]
@@ -81,7 +81,7 @@ def iterate_folder(
     idx = epoch_indices(len(ds), epoch=epoch, seed=seed, shuffle=shuffle,
                         shard_index=shard_index, shard_count=shard_count)
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
-    starts = list(range(start_batch * batch_size, end, batch_size))
+    starts = list(range(max(0, start_batch) * batch_size, end, batch_size))
     if not starts:
         return
 

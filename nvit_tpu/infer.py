@@ -56,9 +56,16 @@ class Predictor:
         cost bounded by nViT's hypersphere structure (unit-norm weight
         columns + unit-norm tokens)."""
         self.cfg = model_cfg
+        if model_parallel < 1:
+            raise ValueError(f"model_parallel must be >= 1, got {model_parallel}")
         if quantize is not None:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r} (supported: 'int8')")
+            if model_parallel > 1:
+                # the quantized tree carries per-matrix scale leaves the
+                # sharding rules don't describe — refuse (before the full-tree
+                # quantization sweep) rather than silently serve replicated
+                raise ValueError("model_parallel > 1 is not supported with quantize yet")
             from nvit_tpu.ops.quant import quantize_vit_params
 
             params = quantize_vit_params(params)
@@ -82,11 +89,6 @@ class Predictor:
             mesh = make_mesh(model_parallel=mp)
             self._batch_multiple = mesh.shape["data"]
             self._in_sharding = NamedSharding(mesh, PartitionSpec("data"))
-            if mp > 1 and quantize is not None:
-                # the quantized tree carries per-matrix scale leaves the
-                # sharding rules don't describe — refuse rather than silently
-                # serve replicated when the user asked for TP
-                raise ValueError("model_parallel > 1 is not supported with quantize yet")
             if mp > 1:
                 # trunk weights shard over the model axis (training rules)
                 params = shard_params(params, mesh, use_nvit=model_cfg.use_nvit)

@@ -252,6 +252,7 @@ class InferenceService:
         # checkpoint — enables hot reload (SIGHUP in main(), or reload())
         self._builder = builder
         self._warm_all = False
+        self._reload_lock = threading.Lock()  # serializes concurrent SIGHUPs
         # a concrete-batch AOT artifact accepts exactly one batch size —
         # every request is padded up to it and it caps the accepted batch
         self._pinned = getattr(predictor, "pinned_batch", None)
@@ -278,19 +279,30 @@ class InferenceService:
         the dynamic batcher — ever stalls on a first-seen shape."""
         self._warm_all = bool(all_buckets)
         self.predict(np.zeros((1, *self._shape), dtype=np.uint8))
-        if all_buckets and not self._pinned:
-            b = 2
-            while b < self.max_batch:
+        for b in self._bucket_sizes():
+            if b > 1:
                 self._padded_probs(np.zeros((b, *self._shape), dtype=np.uint8))
-                b *= 2
-            # _pad_batch clamps its top bucket to max_batch itself, so that
-            # shape is live whether or not max_batch is a power of two —
-            # skipping it would leave exactly the first-request stall this
-            # flag exists to prevent
-            self._padded_probs(np.zeros((self.max_batch, *self._shape), dtype=np.uint8))
         # warmup compiles would dominate the latency percentiles — /stats
         # should describe live traffic only
         self.stats = ServingStats()
+
+    def _bucket_sizes(self) -> list[int]:
+        """Every batch shape the serving path can dispatch (one jit program
+        each): the pinned batch for AOT artifacts, else bucket 1 plus — when
+        the service was warmed with all_buckets — the power-of-two ladder and
+        max_batch itself (_pad_batch clamps its top bucket to max_batch, so
+        that shape is live whether or not it is a power of two)."""
+        if self._pinned:
+            return [self._pinned]
+        buckets = [1]
+        if self._warm_all:
+            b = 2
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            if self.max_batch > 1:
+                buckets.append(self.max_batch)
+        return buckets
 
     def reload(self, builder=None) -> None:
         """Hot-swap the model with a freshly built predictor (zero downtime).
@@ -309,6 +321,13 @@ class InferenceService:
                 "no builder recorded — construct InferenceService(builder=...) "
                 "or pass reload(builder=...)"
             )
+        with self._reload_lock:
+            self._reload_locked(builder)
+
+    def _reload_locked(self, builder) -> None:
+        # serialized: two concurrent SIGHUPs would otherwise race their swaps
+        # (the build that read the OLDER checkpoint could land last) and hold
+        # two extra param copies in device memory
         new = builder()
         if getattr(new, "pinned_batch", None) != self._pinned:
             raise ValueError(
@@ -329,17 +348,18 @@ class InferenceService:
             )
         # warm the replacement before it takes traffic (XLA serializes device
         # programs, so this only competes for compute, never deadlocks)
-        buckets = [self._pinned] if self._pinned else [1]
-        if self._warm_all and not self._pinned:
-            b = 2
-            while b < self.max_batch:
-                buckets.append(b)
-                b *= 2
-            buckets.append(self.max_batch)
-        for b in buckets:
+        for b in self._bucket_sizes():
             new.predict_probs(np.zeros((b, *self._shape), dtype=np.uint8))
+        c = new.cfg
         with self._lock:
             self.predictor = new
+            # /healthz must describe the model actually serving (n_layer etc.
+            # may legitimately change within the same geometry)
+            self.model_info = {
+                "image_size": c.image_size, "num_classes": c.num_classes,
+                "n_layer": c.n_layer, "n_embd": c.n_embd,
+                "use_nvit": c.use_nvit, "use_kohonen": c.use_kohonen,
+            }
         self.stats.record_reload()
 
     def parse(self, body: bytes, content_type: str) -> tuple[np.ndarray, int]:
@@ -396,7 +416,11 @@ class InferenceService:
         return probs[:b]
 
     def predict(self, images: np.ndarray, top_k: int = 1) -> dict:
+        # every failure in predict() is recorded here (the HTTP handler
+        # counts only its OWN read/parse failures — split accounting, no
+        # double counting)
         if images.shape[0] > self.max_batch:
+            self.stats.record_error()
             if self._pinned:
                 raise ValueError(
                     f"batch {images.shape[0]} exceeds the artifact's pinned batch {self._pinned}"
@@ -466,16 +490,29 @@ def make_handler(service: InferenceService):
                     return
                 body = self.rfile.read(length)
                 images, top_k = service.parse(body, self.headers.get("Content-Type", ""))
-                self._reply(200, service.predict(images, top_k))
             except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                 service.stats.record_error()
                 self._reply(400, {"error": str(e)})
-            except Exception as e:  # device/runtime failure → 500, not a TCP reset
-                # predict() already recorded the error; without this the
-                # exception escapes into http.server and the client(s) —
-                # including every rider of a coalesced batch — get an aborted
-                # connection instead of a status line
+                return
+            except Exception as e:  # read failure (socket error) — count it too
+                service.stats.record_error()
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                result = service.predict(images, top_k)
+            except (ValueError, TypeError, KeyError) as e:
+                # predict() recorded the error already
+                self._reply(400, {"error": str(e)})
+                return
+            except Exception as e:  # device/runtime failure → 500, not a TCP
+                # reset: every rider of a coalesced batch reads this response.
+                # predict() recorded the error already
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            # outside every except: a failure WRITING the 200 (client hung
+            # up mid-response) must propagate to http.server, not trigger a
+            # second status line on the same stream
+            self._reply(200, result)
 
     return Handler
 

@@ -365,6 +365,17 @@ class Trainer:
             self._time_up = False  # see _time_limit_reached
             self._cleaned = False  # re-arm cleanup for this launch
             self._load_data()
+            # drop_last means a trainset smaller than one global batch yields
+            # ZERO batches per epoch: the loop would spin forever while
+            # `epoch` advances (and the mid-epoch start_batch arithmetic
+            # would go negative) — reject the config up front
+            nproc = jax.process_count()
+            if len(self.trainset) // nproc < cfg.training.batch_size // nproc:
+                raise ValueError(
+                    f"training dataset ({len(self.trainset)} examples) is smaller "
+                    f"than one batch ({cfg.training.batch_size}) — every epoch "
+                    f"would yield zero batches (drop_last)"
+                )
             if self.is_master:  # metric sinks are master-only (≙ train.py:817)
                 self.metrics_writer = MetricsWriter(
                     self.out_dir, wandb_mode=cfg.wandb.mode, run_name=cfg.wandb.run_name,
@@ -403,9 +414,13 @@ class Trainer:
                 # already trained on, so the batch sequence is a pure
                 # function of iter_num across relaunches (the reference
                 # replays the epoch from its start on every launch)
+                # max(0, …) is defensive: the trainset-size guard above makes
+                # per-epoch yields equal steps_per_epoch, so the offset is in
+                # [0, steps_per_epoch) — a negative value would turn into
+                # wraparound slices in the iterator
                 for imgs_u8, labels in self._epoch_iter(
                     self.trainset, epoch=epoch, shuffle=True,
-                    start_batch=self.iter_num - epoch * self.steps_per_epoch,
+                    start_batch=max(0, self.iter_num - epoch * self.steps_per_epoch),
                 ):
                     if (
                         local_iter >= cfg.training.max_iters_per_launch

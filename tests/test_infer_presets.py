@@ -155,3 +155,11 @@ def test_predictor_model_parallel_flash_kernels(tmp_path):
         )
         got = tp.predict_probs(imgs)
     np.testing.assert_allclose(got, xla_ref.predict_probs(imgs), rtol=1e-4, atol=1e-5)
+
+
+def test_predictor_model_parallel_invalid_values(tmp_path):
+    cfg = small_cfg(tmp_path)
+    p = Predictor.from_config(cfg, compute_dtype=None)
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="model_parallel"):
+            Predictor(p.params, cfg.model, data_parallel=True, model_parallel=bad)

@@ -510,3 +510,40 @@ class TestHotReload:
         )
         with pytest.raises(ValueError, match="geometry"):
             svc.reload(builder=lambda: new)
+
+    def test_reload_refreshes_healthz_model_info(self):
+        import types
+
+        svc = InferenceService(_FakePredictor(), max_batch=8)
+        new = _FakePredictor()
+        new.cfg = types.SimpleNamespace(
+            image_size=16, num_classes=4, n_layer=7, n_embd=128,
+            use_nvit=False, use_kohonen=True,
+        )
+        svc.reload(builder=lambda: new)
+        assert svc.model_info["n_layer"] == 7 and svc.model_info["n_embd"] == 128
+
+    def test_concurrent_reloads_serialized(self):
+        """Two overlapping reload() calls must not build concurrently — the
+        build that read an older checkpoint could otherwise swap in LAST."""
+        svc = InferenceService(_FakePredictor(), max_batch=8)
+        intervals = []
+
+        def slow_builder():
+            t0 = time.monotonic()
+            time.sleep(0.3)
+            intervals.append((t0, time.monotonic()))
+            return _FakePredictor()
+
+        threads = [
+            threading.Thread(target=svc.reload, kwargs={"builder": slow_builder})
+            for _ in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert len(intervals) == 2
+        (a0, a1), (b0, b1) = sorted(intervals)
+        assert b0 >= a1, "second reload built while the first was mid-swap"
+        assert svc.stats.snapshot()["reloads"] == 2
