@@ -87,6 +87,17 @@ accuracy-parity:
 digits-matrix:
     ./scripts/digits_matrix.sh
 
+# Head-to-head accuracy parity vs the ACTUAL reference implementation (torch
+# CPU) on the bundled digits set: same geometry/split/optimizer/budget, both
+# sides without augmentation.  ~1 h CPU; summary table at the end.
+reference-parity:
+    ./scripts/reference_parity_digits.sh
+
+# The digits flagship profile (nvit1_k1) trained end-to-end on the REAL TPU
+# chip — real data through the real compile+train path (chip-lock serialized).
+tpu-digits:
+    ./scripts/tpu_digits_run.sh
+
 # BASELINE config 5 pre-staged: nViT-L/16 data-parallel on a multi-chip host
 # (exits 2 with instructions on this single-chip container).
 scale-run *ARGS:

@@ -114,3 +114,62 @@ class TestDigitsConvergence:
         acc_fp = float((p_fp.predict(va.images)[0][:, 0] == va.labels).mean()) * 100
         acc_q = float((p_q.predict(va.images)[0][:, 0] == va.labels).mean()) * 100
         assert acc_q >= acc_fp - 2.0, f"int8 top-1 {acc_q:.1f}% vs fp {acc_fp:.1f}%"
+
+
+class TestReferenceParityHarnessDrift:
+    """The head-to-head parity claim (scripts/reference_parity_digits.sh)
+    rests on BOTH sides training the same geometry with the same optimizer
+    settings and budget.  The torch side hard-codes them in
+    scripts/reference_digits_parity.py::make_config; the nvit_tpu side reads
+    them from scripts/digits_matrix.sh's env block.  Guard the two against
+    silent drift by parsing the shell script and comparing field by field."""
+
+    @staticmethod
+    def _shell_env(script: str) -> dict[str, str]:
+        import pathlib
+        import re
+
+        text = (pathlib.Path(__file__).parent.parent / "scripts" / script).read_text()
+        return dict(re.findall(r"(NVIT_[A-Z_]+)=([\w.]+)", text))
+
+    def test_geometry_and_optimizer_match(self):
+        torch = pytest.importorskip("torch")  # noqa: F841 — harness needs it
+        import importlib.util
+        import pathlib
+
+        path = pathlib.Path(__file__).parent.parent / "scripts" / "reference_digits_parity.py"
+        spec = importlib.util.spec_from_file_location("ref_parity_harness", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        env = self._shell_env("digits_matrix.sh")
+        cfg = mod.make_config(use_nvit=True, use_kohonen=True)
+        for field, key, conv in (
+            ("image_size", "NVIT_MODEL__IMAGE_SIZE", int),
+            ("n_layer", "NVIT_MODEL__N_LAYER", int),
+            ("n_head", "NVIT_MODEL__N_HEAD", int),
+            ("n_embd", "NVIT_MODEL__N_EMBD", int),
+            ("num_classes", "NVIT_MODEL__NUM_CLASSES", int),
+            ("local_patch_size", "NVIT_MODEL__LOCAL_PATCH_SIZE", int),
+            ("global_patch_size", "NVIT_MODEL__GLOBAL_PATCH_SIZE", int),
+            ("kohonen_nodes", "NVIT_MODEL__KOHONEN_NODES", int),
+        ):
+            assert getattr(cfg, field) == conv(env[key]), field
+        assert mod.BATCH == int(env["NVIT_TRAINING__BATCH_SIZE"])
+        assert mod.EVAL_INTERVAL == int(env["NVIT_TRAINING__EVAL_INTERVAL"])
+        assert mod.LR == float(env["NVIT_OPTIMIZER__LEARNING_RATE"])
+        assert mod.WARMUP == int(env["NVIT_OPTIMIZER__WARMUP_ITERS"])
+
+        # the remaining knobs come from the shared settings.yaml defaults on
+        # the nvit_tpu side — pin the torch side to the same file
+        from nvit_tpu.configs.loader import load_config
+
+        y = load_config().model
+        for field in (
+            "dropout", "bias", "kohonen_alpha", "reconstruction_weight",
+            "map_balance_weight", "local_quantization_weight",
+            "global_quantization_weight", "kohonen_scheduler_enabled",
+            "kohonen_scheduler_warmup_steps", "kohonen_scheduler_decay_steps",
+            "kohonen_scheduler_min_lr",
+        ):
+            assert getattr(cfg, field) == getattr(y, field), field
