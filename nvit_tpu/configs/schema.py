@@ -63,6 +63,21 @@ class ViTConfig:
     kohonen_scheduler_warmup_steps: int = 1000
     kohonen_scheduler_decay_steps: int = 10000
     kohonen_scheduler_min_lr: float = 0.001
+    # Hebbian update magnitude for the batch-SOM formulation ("sum" |
+    # "reference" | "off").  The reference's per-sample loop applies exactly
+    # B updates per step (its zip() quirk truncates B·T BMUs against B
+    # images, kohonen.py:138); our order-independent batch delta uses every
+    # one of the B·T token samples, which multiplies the effective per-step
+    # pull by T.  At small node counts the neighborhood kernel is
+    # near-uniform, so the T× pull collapses the codebook toward the global
+    # patch mean within a few hundred steps and the Kohonen profile
+    # UNDERPERFORMS its own k0 ablation (BASELINE.md round-4 head-to-head).
+    # "reference" divides the batch delta by T so the per-step Hebbian
+    # magnitude matches the reference's B-sample loop while keeping the
+    # all-sample direction; "sum" is the raw batch delta (rounds ≤3);
+    # "off" disables the non-gradient channel (codebook learns by
+    # backprop only, still through BMU gather + aux losses).
+    kohonen_hebbian: str = "sum"
     local_quantization_weight: float = 0.1
     global_quantization_weight: float = 0.1
 
@@ -86,6 +101,10 @@ class ViTConfig:
         if self.gated_mlp_kernel not in ("on", "off", "auto"):
             raise ValueError(
                 f"gated_mlp_kernel must be 'on', 'off' or 'auto', got {self.gated_mlp_kernel!r}"
+            )
+        if self.kohonen_hebbian not in ("sum", "reference", "off"):
+            raise ValueError(
+                f"kohonen_hebbian must be 'sum', 'reference' or 'off', got {self.kohonen_hebbian!r}"
             )
         if self.n_embd % self.n_head != 0:
             raise ValueError(f"n_embd={self.n_embd} not divisible by n_head={self.n_head}")

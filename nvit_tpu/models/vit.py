@@ -154,13 +154,18 @@ def vit_apply(
         som_info["local_indices"] = local_idx
         som_info["global_indices"] = global_idx
 
-        if train:
+        if train and cfg.kohonen_hebbian != "off":
             kernel = som.neighborhood_kernel(spec)
+            # "reference": normalize the all-sample batch delta by T so the
+            # per-step Hebbian magnitude matches the reference's B-iteration
+            # update loop (kohonen.py:138 zips B·T BMUs against B images);
+            # see configs/schema.py:kohonen_hebbian for the full rationale.
+            heb_lr = lr / local.shape[-2] if cfg.kohonen_hebbian == "reference" else lr
             som_info["local_delta"] = som.hebbian_delta(
-                local_nodes, kernel, local, local_idx, lr, spec.alpha
+                local_nodes, kernel, local, local_idx, heb_lr, spec.alpha
             )
             som_info["global_delta"] = som.hebbian_delta(
-                global_nodes, kernel, global_, global_idx, lr, spec.alpha
+                global_nodes, kernel, global_, global_idx, heb_lr, spec.alpha
             )
 
         local_repr = local_repr.astype(local.dtype)

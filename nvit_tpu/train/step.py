@@ -140,7 +140,7 @@ def make_train_step(
             cfg.optimizer, state.params, grads, state.opt_state, renorm=mcfg.use_nvit
         )
 
-        if mcfg.use_kohonen:
+        if mcfg.use_kohonen and mcfg.kohonen_hebbian != "off":
             # non-gradient Hebbian channel (≙ in-forward update_nodes,
             # model.py:428-430) applied as an explicit post-step delta
             params = dict(params)

@@ -164,10 +164,26 @@ def test_every_schema_field_is_env_overridable(tmp_path, monkeypatch):
                                                       "global_patch_size", "kohonen_nodes"):
                 continue  # +1 breaks validate() divisibility; covered by other tests
             if f.name in ("dataset", "dtype", "init_from", "checkpoint_backend",
-                          "bounded_softmax", "gated_mlp_kernel", "wandb_mode"):
+                          "bounded_softmax", "gated_mlp_kernel", "wandb_mode",
+                          "kohonen_hebbian"):
                 continue  # enum-validated strings; covered by dedicated tests
             env = {f"NVIT_{section.name.upper()}__{f.name.upper()}": raw}
             got = getattr(getattr(loader.load_config("settings.yaml", env=env), section.name), f.name)
             assert got == want, (section.name, f.name)
             checked += 1
     assert checked > 60  # the sweep actually covered the schema
+
+
+def test_kohonen_hebbian_enum_and_env_override():
+    """kohonen_hebbian: env-overridable enum; invalid values raise at validate()."""
+    import pytest
+
+    from nvit_tpu.configs import loader
+    from nvit_tpu.configs.schema import ViTConfig
+
+    cfg = loader.load_config(env={"NVIT_MODEL__KOHONEN_HEBBIAN": "reference"})
+    assert cfg.model.kohonen_hebbian == "reference"
+    cfg = loader.load_config(env={"NVIT_MODEL__KOHONEN_HEBBIAN": "off"})
+    assert cfg.model.kohonen_hebbian == "off"
+    with pytest.raises(ValueError, match="kohonen_hebbian"):
+        ViTConfig(kohonen_hebbian="bogus").validate()
