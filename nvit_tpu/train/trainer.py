@@ -256,6 +256,17 @@ class Trainer:
         n = num_params(self.state.params)
         self.logger.info("Model: %.2fM params | nvit=%s kohonen=%s | %s", n / 1e6,
                          cfg.model.use_nvit, cfg.model.use_kohonen, cfg.data.dataset)
+        if cfg.system.quick_validation and cfg.training.full_eval_interval == 0:
+            # the reference's evaluate() always runs the full val pass
+            # (train.py:728-766); with quick_validation and no full-eval
+            # cadence, best-checkpoint selection and early stopping only ever
+            # see a quick_validation_size-capped subset — allowed, but loud.
+            self.logger.warning(
+                "quick_validation is on with full_eval_interval=0: every eval "
+                "(incl. best-checkpoint selection) runs on a %d-example subset; "
+                "set training.full_eval_interval=N to run the full val pass "
+                "every Nth eval", cfg.system.quick_validation_size,
+            )
         self._flops_per_iter = estimate_flops_per_iter(cfg.model, n) * cfg.training.batch_size
 
     def _download_wandb_artifact(self, artifact_name: str) -> tuple[str, str]:

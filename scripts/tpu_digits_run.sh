@@ -17,7 +17,13 @@ cd "$(dirname "$0")/.."
 
 OUT=${1:-/tmp/digits_tpu}
 ITERS=${ITERS:-2000}
-rm -rf "$OUT" && mkdir -p "$OUT"
+# refuse a non-empty pre-existing outdir rather than rm -rf'ing a
+# caller-supplied path (a mistyped first arg must never delete anything)
+if [ -d "$OUT" ] && [ -n "$(ls -A "$OUT" 2>/dev/null)" ]; then
+  echo "refusing to reuse non-empty $OUT — pass a fresh directory" >&2
+  exit 1
+fi
+mkdir -p "$OUT"
 
 # keep the axon plugin's sitecustomize entry on PYTHONPATH (CLAUDE.md)
 env PYTHONPATH="$PWD:/root/.axon_site" \

@@ -9,7 +9,13 @@ cd "$(dirname "$0")/.."
 
 OUT=${1:-/tmp/r3_relaunch}
 ITERS=${2:-60}
-rm -rf "$OUT" && mkdir -p "$OUT"
+# refuse a non-empty pre-existing outdir rather than rm -rf'ing a
+# caller-supplied path (a mistyped first arg must never delete anything)
+if [ -d "$OUT" ] && [ -n "$(ls -A "$OUT" 2>/dev/null)" ]; then
+  echo "refusing to reuse non-empty $OUT — pass a fresh directory" >&2
+  exit 1
+fi
+mkdir -p "$OUT"
 
 common=(
     NVIT_DATA__DATASET=synthetic "NVIT_DATA__OUT_DIR=$OUT" "NVIT_DATA__DATA_DIR=$OUT/data"

@@ -164,7 +164,20 @@ class TestReferenceParityHarnessDrift:
         # the nvit_tpu side — pin the torch side to the same file
         from nvit_tpu.configs.loader import load_config
 
-        y = load_config().model
+        full = load_config()
+        assert mod.MIN_LR == full.optimizer.min_lr
+        assert mod.WD == full.optimizer.weight_decay
+        assert mod.BETAS == (full.optimizer.beta1, full.optimizer.beta2)
+        assert mod.CLIP == full.optimizer.grad_clip
+        assert mod.CONSISTENCY_W == full.training.consistency_weight
+        assert mod.SMOOTHNESS_W == full.training.smoothness_weight
+        # ITERS defaults must agree between the harness and the shell matrix
+        import pathlib as _pl
+
+        matrix = (_pl.Path(__file__).parent.parent / "scripts" / "digits_matrix.sh").read_text()
+        assert "ITERS=${ITERS:-%d}" % mod.ITERS in matrix
+
+        y = full.model
         for field in (
             "dropout", "bias", "kohonen_alpha", "reconstruction_weight",
             "map_balance_weight", "local_quantization_weight",
