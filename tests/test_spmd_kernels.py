@@ -121,6 +121,7 @@ def test_gated_mlp_tensor_parallel_uses_xla(force_tpu):
     "gated_mlp_grads_bias",
     "full_flash_train_step",
     "full_flash_train_step_fsdp",
+    "full_flash_train_step_allfeatures",
 ])
 def test_spmd_kernel_check(name):
     run_check(name)
