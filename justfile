@@ -106,6 +106,16 @@ scale-run *ARGS:
 test:
     python -m pytest tests/ -x -q
 
+# Fast core tier (~4 min on one core vs ~23 min for the full suite): model/
+# kernel/step/config correctness incl. torch golden parity — the subset to
+# re-run after every edit; the full suite still gates merges (just ci).
+test-fast:
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest -q \
+        tests/test_core.py tests/test_model.py tests/test_som.py \
+        tests/test_train_step.py tests/test_config.py \
+        tests/test_flash_attention.py tests/test_gated_mlp.py \
+        tests/test_reference_parity.py
+
 # Full CI gate: hermetic CPU suite + the single-chip jit compile check +
 # the 8-device virtual-mesh dryrun of the multi-chip train step.
 ci:
