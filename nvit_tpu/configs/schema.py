@@ -211,6 +211,15 @@ class SystemConfig:
     remat_skip_blocks: int = 0  # exempt the last N blocks from remat (spends HBM for speed)
     profile_steps: int = 0  # capture a jax.profiler trace for the first N steps
     debug_nans: bool = False  # jax_debug_nans sanitizer
+    # persistent XLA compilation cache directory ("" = disabled).  Fresh
+    # flagship-scale programs cost minutes of (remote) TPU compile; with the
+    # cache every relaunch of the same program loads in seconds — essential
+    # for the time_limit_seconds relaunch protocol, where each launch would
+    # otherwise re-pay the full compile (observed: a 1500 s launch spending
+    # 100% of its budget compiling and training zero steps).
+    # ≙ torch.compile's inductor cache in the reference's stack (implicit
+    # there; explicit and shareable here).
+    compilation_cache_dir: str = ".jax_cache"
 
 
 @dataclass(frozen=True)

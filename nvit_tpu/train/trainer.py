@@ -70,6 +70,18 @@ class Trainer:
 
         apply_debug_flags(debug_nans=cfg.system.debug_nans, disable_jit=not cfg.system.jit)
 
+        if cfg.system.compilation_cache_dir:
+            # persistent XLA compile cache: flagship programs cost minutes of
+            # (remote) TPU compile, and the time_limit_seconds relaunch
+            # protocol re-pays it every launch without this (schema.py).
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    str(Path(cfg.system.compilation_cache_dir).expanduser()),
+                )
+            except Exception as e:  # never let cache plumbing kill a run
+                self.logger.warning("compilation cache unavailable: %s", e)
+
         # --- distributed setup (≙ setup_distributed, train.py:197-243) ------
         self.mesh = None
         if cfg.system.use_ddp and jax.device_count() > 1:

@@ -36,6 +36,9 @@ common=(
     NVIT_SYSTEM__QUICK_VALIDATION_SIZE=64 NVIT_SYSTEM__REMAT=false
     NVIT_SYSTEM__USE_TQDM=false NVIT_SYSTEM__LOG_GPU_STATS=false
     NVIT_SYSTEM__LOG_MEMORY=true
+    # persistent compile cache: launch 1 pays the remote compile ONCE; every
+    # relaunch after that loads the program in seconds (system config knob)
+    NVIT_SYSTEM__COMPILATION_CACHE_DIR=/root/repo/.jax_cache
     PYTHONPATH=/root/repo:/root/.axon_site
 )
 
