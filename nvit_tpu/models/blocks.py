@@ -101,11 +101,15 @@ def _gated_linear(p: Params, x: Array, *, compute_dtype: Any, use_kernel: bool) 
 def _use_mlp_kernel(cfg: ViTConfig) -> bool:
     """Resolve the fused gated-MLP dispatch (see ViTConfig.gated_mlp_kernel):
     the kernel's bwd recompute wins while the MXU has idle headroom — measured
-    crossover on v5e is between d=768 (+7%) and d=1024 (−7%)."""
+    crossover on v5e is between d=768 (+7%) and d=1024 (−7%); the boundary is
+    env-overridable for other chips (NVIT_TUNE_GATED_MLP_AUTO_MAX_EMBD,
+    ops/tuning.py)."""
     if not cfg.flash_attn:  # flash_attn gates ALL Pallas paths
         return False
     if cfg.gated_mlp_kernel == "auto":
-        return cfg.n_embd <= 768
+        from nvit_tpu.ops.tuning import GATED_MLP_AUTO_MAX_EMBD
+
+        return cfg.n_embd <= GATED_MLP_AUTO_MAX_EMBD
     return cfg.gated_mlp_kernel == "on"
 
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 import functools
 from typing import Any
 
+from nvit_tpu.ops import tuning
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -57,7 +59,7 @@ def _pad_len(t: int, dtype: Any = None) -> int:
     return t_sub if t_sub <= _FUSED_BWD_MAX_T else lane
 
 
-def _pick_block_q(t_pad: int, cap: int = 512) -> int:
+def _pick_block_q(t_pad: int, cap: int = tuning.BLOCK_Q_CAP_BWD) -> int:
     """Q-tile rows: full-T when it fits the cap (single program per bh —
     t_pad then only needs sublane alignment), else the largest 128-multiple
     divisor of t_pad ≤ cap.
@@ -114,7 +116,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_actual: 
 def _fwd(q3: Array, k3: Array, v3: Array, scale: float, t_actual: int):
     """q3/k3/v3: [BH, T_pad, D] → (o [BH, T_pad, D], lse [BH, T_pad, 1])."""
     bh, t_pad, d = q3.shape
-    BLOCK_Q = _pick_block_q(t_pad, cap=1024)
+    BLOCK_Q = _pick_block_q(t_pad, cap=tuning.BLOCK_Q_CAP_FWD)
     grid = (bh, t_pad // BLOCK_Q)
     kernel = functools.partial(_fwd_kernel, scale=scale, t_actual=t_actual)
     o, lse = pl.pallas_call(
@@ -205,7 +207,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
 # VMEM): ONE softmax recompute and 5 matmuls produce dq, dk and dv together —
 # the two-kernel FlashAttention-2 split recomputes the softmax twice and runs
 # 7 matmuls.  For this model family (T ≤ ~1k) this is the hot path.
-_FUSED_BWD_MAX_T = 1024
+_FUSED_BWD_MAX_T = tuning.FUSED_BWD_MAX_T  # v5e-measured; NVIT_TUNE_FUSED_BWD_MAX_T
 
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
@@ -457,7 +459,7 @@ def _fwd_qknorm(q3, k3, v3, s3, scale: float, t_actual: int, mode: str = "auto")
       (ADVICE r2 #2).
     """
     bh, t_pad, d = q3.shape
-    BLOCK_Q = _pick_block_q(t_pad, cap=1024)
+    BLOCK_Q = _pick_block_q(t_pad, cap=tuning.BLOCK_Q_CAP_FWD)
     grid = (bh, t_pad // BLOCK_Q)
 
     def call(bounded):

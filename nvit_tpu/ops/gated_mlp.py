@@ -39,13 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 # runs on CPU hosts/tests via the XLA fallback; tests monkeypatch this
 # module's _on_tpu (like tests/test_flash_attention.py does for
 # ops/attention.py) to force the kernel path under interpret mode.
+from nvit_tpu.ops import tuning
 from nvit_tpu.ops.attention import _on_tpu
 
 # Forward tiles: rows innermost in the grid so each W column-tile is fetched
 # once and x streams; [512, 1024] fp32 gate intermediates keep VMEM ≈ 14 MB.
-_FWD_ROW, _FWD_COL = 512, 1024
+_FWD_ROW, _FWD_COL = tuning.GATED_MLP_FWD_ROW, tuning.GATED_MLP_FWD_COL
 # Backward holds g + two outputs too — halve the row tile.
-_BWD_ROW, _BWD_COL = 256, 1024
+# (all four are v5e-measured; NVIT_TUNE_GATED_MLP_* override for other chips)
+_BWD_ROW, _BWD_COL = tuning.GATED_MLP_BWD_ROW, tuning.GATED_MLP_BWD_COL
 
 
 def _pick(total: int, cap: int, step: int = 128) -> int | None:

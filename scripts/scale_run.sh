@@ -34,6 +34,31 @@ if [ "${NCHIPS}" -lt 2 ]; then
   exit 2
 fi
 
+# pre-flight: the kernel tile constants and dispatch crossovers are
+# v5e-MEASURED (ops/tuning.py).  On any other chip generation warn loudly
+# and name the override envs + the roofline table coverage, instead of
+# silently inheriting v5e heuristics (docs/PERFORMANCE.md "What changes on
+# v5p").
+python - <<'EOF'
+import jax
+
+kind = jax.devices()[0].device_kind
+known = ("v5 lite", "v5e", "v5p", "v4", "v6")
+if not any(k in kind.lower() for k in known):
+    print(f"scale_run PRE-FLIGHT: device kind {kind!r} missing from the "
+          "PEAK_BF16/HBM_BW tables (bench.py) — MFU/traffic readouts will "
+          "assume v5e. Add the chip there first.")
+if "v5 lite" not in kind.lower() and "v5e" not in kind.lower():
+    import nvit_tpu.ops.tuning as t
+    print(f"scale_run PRE-FLIGHT: {kind}: kernel tuning constants are "
+          "v5e-measured. Review before a production run (NVIT_TUNE_* envs):")
+    print(f"  FUSED_BWD_MAX_T={t.FUSED_BWD_MAX_T} BLOCK_Q_CAP_FWD={t.BLOCK_Q_CAP_FWD} "
+          f"BLOCK_Q_CAP_BWD={t.BLOCK_Q_CAP_BWD}")
+    print(f"  GATED_MLP tiles fwd=({t.GATED_MLP_FWD_ROW},{t.GATED_MLP_FWD_COL}) "
+          f"bwd=({t.GATED_MLP_BWD_ROW},{t.GATED_MLP_BWD_COL}) "
+          f"auto_max_embd={t.GATED_MLP_AUTO_MAX_EMBD}")
+EOF
+
 OUT="out/scale_nvitl_dp${NCHIPS}"
 echo "scale_run: nViT-L/16 dp${NCHIPS} (fsdp on by default: ZeRO-sharded params+moments free ~4.3 GB/chip at this scale), batch $((12 * NCHIPS)), ${ITERS} iters -> ${OUT}"
 
