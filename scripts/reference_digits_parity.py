@@ -44,6 +44,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from nvit_tpu.data.datasets import load_digits_dataset  # noqa: E402
 
 ITERS = int(os.environ.get("ITERS", 2000))
+# SEED: vary for run-to-run noise estimation (default = the recorded runs).
+# SAVE_DIR: if set, torch.save the final model per profile (state_dict +
+#   model_args + its final/best top-1) for the interop round-trip evaluation
+#   (scripts/interop_roundtrip.py).
+# PROFILES: comma-separated subset (e.g. "nvit1_k1") of the 3-profile matrix.
+SEED = int(os.environ.get("SEED", 1797))
+SAVE_DIR = os.environ.get("SAVE_DIR", "")
+PROFILES = [p for p in os.environ.get("PROFILES", "").split(",") if p]
 BATCH = 64
 EVAL_INTERVAL = 250
 # optimizer settings ≙ both settings.yamls (identical defaults)
@@ -137,8 +145,8 @@ def evaluate(model: ViT, xva: torch.Tensor, yva: np.ndarray) -> float:
 
 
 def run_profile(name: str, use_nvit: bool, use_kohonen: bool) -> dict:
-    torch.manual_seed(1797)
-    np.random.seed(1797)
+    torch.manual_seed(SEED)
+    np.random.seed(SEED)
     cfg = make_config(use_nvit, use_kohonen)
     model = ViT(cfg)
     model.train()
@@ -185,10 +193,39 @@ def run_profile(name: str, use_nvit: bool, use_kohonen: bool) -> dict:
                 flush=True,
             )
 
+    final = evaluate(model, xva, yva)
+    if SAVE_DIR:
+        os.makedirs(SAVE_DIR, exist_ok=True)
+        dest = os.path.join(SAVE_DIR, f"{name}.pt")
+        # the reference's own checkpoint shape (train.py:673-683): model
+        # state_dict + model_args — loadable by ckpt/torch_interop.py import
+        torch.save(
+            {
+                "model": model.state_dict(),
+                "model_args": {
+                    "image_size": cfg.image_size, "n_layer": cfg.n_layer,
+                    "n_head": cfg.n_head, "n_embd": cfg.n_embd,
+                    "num_classes": cfg.num_classes,
+                    "local_patch_size": cfg.local_patch_size,
+                    "global_patch_size": cfg.global_patch_size,
+                    "use_nvit": cfg.use_nvit, "use_kohonen": cfg.use_kohonen,
+                    "kohonen_nodes": cfg.kohonen_nodes,
+                    "kohonen_alpha": cfg.kohonen_alpha,
+                    "dropout": cfg.dropout, "bias": cfg.bias,
+                },
+                "iter_num": ITERS,
+                "final_top1": final,
+                "best_val_loss": None,
+            },
+            dest,
+        )
+        print(f"  [{name}] saved {dest} (final top-1 {final:.2f}%)", flush=True)
     return {
         "profile": name,
         "impl": "reference-torch",
         "best_top1": round(best, 2),
+        "final_top1": round(final, 2),
+        "seed": SEED,
         "iters": ITERS,
         "train_s": round(time.time() - t0, 1),
     }
@@ -201,6 +238,8 @@ def main() -> None:
         ("nvit1_k0", True, False),
         ("nvit1_k1", True, True),
     ):
+        if PROFILES and name not in PROFILES:
+            continue
         print(f"=== reference-torch {name} (use_nvit={nv} use_kohonen={ko})", flush=True)
         try:
             results.append(run_profile(name, nv, ko))
