@@ -30,7 +30,7 @@ run_variant() { # name hebbian_mode seed
     NVIT_TRAINING__LOG_INTERVAL=250 NVIT_TRAINING__EVAL_ITERS=5 NVIT_TRAINING__EARLY_STOPPING_PATIENCE=100 \
     NVIT_OPTIMIZER__LEARNING_RATE=0.001 NVIT_OPTIMIZER__WARMUP_ITERS=100 NVIT_OPTIMIZER__LR_DECAY_ITERS=$ITERS \
     NVIT_SYSTEM__USE_DDP=false NVIT_SYSTEM__USE_TQDM=false NVIT_SYSTEM__DTYPE=float32 NVIT_SYSTEM__USE_AMP=false \
-    NVIT_SYSTEM__SEED=$seed \
+    NVIT_TRAINING__SEED=$seed \
     NVIT_DATA__AUGMENTATION__ENABLED=false \
     timeout 1800 python -m nvit_tpu > "$OUT/$name/run.log" 2>&1
 }

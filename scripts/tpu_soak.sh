@@ -33,6 +33,10 @@ common=(
     NVIT_TRAINING__EVAL_INTERVAL=500 NVIT_TRAINING__LOG_INTERVAL=100
     NVIT_TRAINING__EVAL_ITERS=2 NVIT_TRAINING__EARLY_STOPPING_PATIENCE=100000
     NVIT_TRAINING__TIME_LIMIT_SECONDS="$LAUNCH_LIMIT_S"
+    # the packaged warmup 500 / decay 1000 mirrors the reference's defaults
+    # (a parity quirk — degenerate for a 20k-iter run: LR pins at min_lr from
+    # iter 1000); the soak uses a schedule proportioned to its budget
+    NVIT_OPTIMIZER__WARMUP_ITERS=1000 "NVIT_OPTIMIZER__LR_DECAY_ITERS=$ITERS"
     NVIT_SYSTEM__QUICK_VALIDATION_SIZE=64 NVIT_SYSTEM__REMAT=false
     NVIT_SYSTEM__USE_TQDM=false NVIT_SYSTEM__LOG_GPU_STATS=false
     NVIT_SYSTEM__LOG_MEMORY=true
