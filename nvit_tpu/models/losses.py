@@ -40,12 +40,29 @@ def mse_loss(pred: Array, target: Array) -> Array:
     return jnp.mean(diff * diff)
 
 
+def _safe_norm(x: Array, axis: int = -1) -> Array:
+    """L2 norm whose gradient is 0 (not NaN) where the norm is exactly 0.
+
+    d‖x‖/dx = x/‖x‖ is 0/0 at x = 0; jnp.linalg.norm propagates that NaN
+    into every parameter it touches.  Exact same VALUES as linalg.norm —
+    only the x = 0 cotangent changes — via the standard double-where trick.
+    The reference's torch.norm has the identical NaN hazard (latent there:
+    its Hebbian channel is too weak to ever collapse two SOM nodes to
+    bit-equality; ours did at flagship scale — BASELINE.md round-4 soak)."""
+    d2 = jnp.sum(x * x, axis=axis)
+    safe = jnp.where(d2 > 0, d2, 1.0)
+    return jnp.where(d2 > 0, jnp.sqrt(safe), 0.0)
+
+
 def consistency_loss(local_repr: Array, global_repr: Array) -> Array:
-    """1 − mean cosine similarity (≙ reference model.py:482-490)."""
+    """1 − mean cosine similarity (≙ reference model.py:482-490).
+
+    Denominators are clamped (a SOM node pulled to exactly 0 must not NaN
+    the whole step — same hazard class as _safe_norm)."""
     ln = local_repr.astype(jnp.float32)
     gn = global_repr.astype(jnp.float32)
-    ln = ln / jnp.linalg.norm(ln, axis=-1, keepdims=True)
-    gn = gn / jnp.linalg.norm(gn, axis=-1, keepdims=True)
+    ln = ln / jnp.maximum(_safe_norm(ln)[..., None], 1e-12)
+    gn = gn / jnp.maximum(_safe_norm(gn)[..., None], 1e-12)
     return 1.0 - jnp.mean(jnp.sum(ln * gn, axis=-1))
 
 
@@ -88,7 +105,7 @@ def map_smoothness(nodes: Array, indices: Array, grid_m: int, grid_n: int) -> Ar
     neigh = neighbor_indices(node_ids, grid_m, grid_n)  # [N, 8]
     cur = nodes.astype(jnp.float32)  # [N, d]
     nb = jnp.take(nodes, neigh, axis=0).astype(jnp.float32)  # [N, 8, d]
-    table = jnp.mean(jnp.linalg.norm(cur[:, None, :] - nb, axis=-1), axis=-1)  # [N]
+    table = jnp.mean(_safe_norm(cur[:, None, :] - nb), axis=-1)  # [N]
     idx = indices.reshape(-1)
     counts = jax.ops.segment_sum(
         jnp.ones_like(idx, dtype=jnp.float32), idx, num_segments=n_nodes

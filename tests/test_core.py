@@ -185,6 +185,30 @@ class TestLosses:
         expected = np.array([0, 1, 2, 6, 8, 12, 13, 14])
         np.testing.assert_array_equal(np.sort(neigh), expected)
 
+    def test_degenerate_inputs_keep_gradients_finite(self):
+        """Collapsed SOM codebooks (bit-identical nodes) and zero reprs must
+        not NaN the step: d‖x‖/dx at x=0 is 0/0, and the 'sum' Hebbian
+        magnitude really did collapse the flagship codebook on the chip
+        (BASELINE.md round-4 soak — loss NaN'd at iter ~505).  Same latent
+        hazard exists in the reference's torch.norm smoothness."""
+        nodes = jnp.ones((16, 8), jnp.float32)  # every neighbor distance == 0
+        idx = jnp.zeros((32,), jnp.int32)
+        loss = float(L.map_smoothness(nodes, idx, 4, 4))
+        g = jax.grad(lambda n: L.map_smoothness(n, idx, 4, 4))(nodes)
+        assert loss == 0.0 and bool(jnp.isfinite(g).all())
+
+        z = jnp.zeros((4, 8))
+        o = jax.random.normal(jax.random.PRNGKey(2), (4, 8))
+        gz = jax.grad(lambda a: L.consistency_loss(a, o))(z)
+        assert bool(jnp.isfinite(gz).all())
+
+        # guards must not change values on non-degenerate inputs
+        a = jax.random.normal(jax.random.PRNGKey(3), (4, 8))
+        ref = 1.0 - jnp.mean(jnp.sum(
+            (a / jnp.linalg.norm(a, axis=-1, keepdims=True))
+            * (o / jnp.linalg.norm(o, axis=-1, keepdims=True)), -1))
+        assert float(L.consistency_loss(a, o)) == pytest.approx(float(ref), abs=1e-7)
+
     def test_topk_accuracy(self):
         logits = jnp.asarray(np.eye(4, 6, dtype=np.float32) * 10)  # argmax = diag
         labels = jnp.array([0, 1, 2, 0])  # 3 of 4 top-1 correct
