@@ -28,6 +28,10 @@ common=(
     NVIT_MODEL__IMAGE_SIZE=224 NVIT_MODEL__N_LAYER=12 NVIT_MODEL__N_HEAD=12
     NVIT_MODEL__N_EMBD=768 NVIT_MODEL__NUM_CLASSES=1000 NVIT_MODEL__USE_NVIT=true
     NVIT_MODEL__USE_KOHONEN=true NVIT_MODEL__KOHONEN_NODES=512
+    # reference-magnitude Hebbian: the raw 'sum' magnitude collapses the
+    # codebook at flagship B*T (round-4 NaN root cause; losses are guarded
+    # now, but a collapsed SOM is not a configuration worth soaking)
+    NVIT_MODEL__KOHONEN_HEBBIAN=reference
     NVIT_MODEL__FLASH_ATTN=true NVIT_MODEL__BIAS=false
     NVIT_TRAINING__BATCH_SIZE=32 NVIT_TRAINING__MAX_ITERS="$ITERS"
     NVIT_TRAINING__EVAL_INTERVAL=500 NVIT_TRAINING__LOG_INTERVAL=100
