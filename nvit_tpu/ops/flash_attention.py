@@ -392,13 +392,19 @@ def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_a
     qn/kn ⇒ |score| ≤ scale·max_d(s_d²) by Cauchy-Schwarz), so subtracting
     the per-head SCALAR bound replaces the per-row max — one fewer VPU
     reduce pass over the [Tq, Tk] tile (measured +2 img/s on the flagship).
-    exp stays in [e^-40, 1] under the wrapper's bound<20 gate (no overflow;
-    worst-case row sum ≥ T·e^-40 ≫ fp32 tiny, so no 0/0) and lse =
-    bound + log(l) is exactly what the backward recomputes from.  The
-    wrapper dispatches to the ``bounded=False`` row-max variant at runtime
-    when the learned scale drifts past the safe range — a jax-level cond
-    between two kernels, NOT in-kernel control flow (an in-kernel lax.cond
-    measured 6 ms/step SLOWER than row-max)."""
+    No overflow ever (s ≤ bound ⇒ exp argument ≤ 0); underflow is fenced by
+    the _BOUNDED_EXP_FLOOR clamp below: sqk is LEARNED with a 32×-amplified
+    effective LR (stored pre-scaled by base_scale — nothing renorms it), and
+    the round-4 flagship soak measured sqk_eff drifting past 2.3 within 200
+    iters of the LR peak.  At sqk_eff ≥ 2.336 (bound ≥ 43.65) a whole row of
+    exp(s − bound) can underflow fp32 (scores ≥ −bound ⇒ argument ≥ −2·bound
+    < −87.3) → l = 0 → 0/0 NaN — exactly the observed soak failure (NaN ~85
+    iters after the 2.307 reading; BASELINE.md round 4).  The clamp keeps
+    every row sum ≥ T·e^−60 > 0: numerically invisible in the sound regime
+    (clamped entries carry ≤ e^−60/l relative weight; constant shifts cancel
+    in the normalization) and degrades a row to uniform attention instead of
+    NaN in the pathological full-clamp regime.  lse = bound + log(l) is
+    exactly what the backward recomputes from (same clamp there)."""
     q = q_ref[0]
     k = k_ref[0]
     s_vec = s_ref[0]  # [1, D] fp32
@@ -422,7 +428,11 @@ def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_a
     if bounded:
         bound = scale * jnp.max(s_vec * s_vec)
         m = jnp.full((s.shape[0], 1), bound, jnp.float32)
-        p = jnp.exp(s - bound)
+        p = jnp.exp(jnp.maximum(s - bound, _BOUNDED_EXP_FLOOR))
+        if t_actual < t_pad:
+            # the clamp resurrects NEG_INF-masked columns — re-zero them
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, dimension=1)
+            p = jnp.where(col < t_actual, p, 0.0)
     else:
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
@@ -435,9 +445,18 @@ def _fwd_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, lse_ref, *, scale, t_a
     lse_ref[0] = m + jnp.log(l)
 
 
-# Bounded-softmax safety gate: with bound = scale·max(sqk_eff²) < 20, the
-# worst-case exp argument is −2·bound > −40, far from fp32 under/overflow.
+# Bounded-softmax safety gate (auto mode): with bound = scale·max(sqk_eff²)
+# < 20, the worst-case exp argument is −2·bound > −40, far from fp32
+# under/overflow — the clamp below never fires inside the gate.
 _BOUND_GATE = 20.0
+
+# Static-"bounded" underflow fence: exp arguments are clamped to ≥ −60, so a
+# row sum is ≥ T·e^−60 ≈ T·8.8e−27 ≫ fp32 tiny — no 0/0 at ANY learned-sqk
+# drift (observed drift: sqk_eff > 2.3, bound > 43, argument < −87 = fp32
+# exp underflow; see _fwd_qknorm_kernel's docstring).  −60 is far below any
+# entry that matters (relative weight ≤ e^−60/l) yet safely above underflow
+# even after the bf16 cast of p (bf16 min subnormal ≈ 9.2e−41).
+_BOUNDED_EXP_FLOOR = -60.0
 
 
 def _fwd_qknorm(q3, k3, v3, s3, scale: float, t_actual: int, mode: str = "auto"):
@@ -445,11 +464,15 @@ def _fwd_qknorm(q3, k3, v3, s3, scale: float, t_actual: int, mode: str = "auto")
     custom-VJP nondiff static tuple):
 
     * ``"bounded"`` (config default) — compile ONLY the bounded-softmax kernel.
-      Sound whenever bound = scale·max(sqk_eff²) < 20, which the per-step sqk
-      renorm maintains by construction (sqk_eff stays ≈ 1 ⇒ bound ≈ scale =
-      sqrt(d) ≈ 8 ≪ 20; measured drift over flagship runs: 0.99–1.03).
-      Reclaims the ~1.5 GB of planned peak HBM the runtime cond cost (XLA
-      double-buffers the cond arms' operands; VERDICT r2 weak #5).
+      NaN-proof at any learned-sqk drift via the _BOUNDED_EXP_FLOOR clamp
+      (round 4: sqk has a 32×-amplified effective LR and measured drift past
+      2.3 on the Kohonen flagship — the earlier "sqk_eff stays ≈ 1" premise
+      was wrong; a pre-clamp run NaN'd at bound ≈ 44, BASELINE.md round 4).
+      Numerics are exact vs rowmax wherever the clamp is inert (all rows with
+      max score > bound − 60); a fully-clamped row degrades to uniform
+      attention instead of 0/0.  Reclaims the ~1.5 GB of planned peak HBM the
+      runtime cond cost (XLA double-buffers the cond arms' operands; VERDICT
+      r2 weak #5).
     * ``"rowmax"`` — compile only the classic per-row-max kernel (always safe,
       one extra VPU reduce pass over the score tile).
     * ``"auto"`` — runtime jax-level cond between the two compiled variants.
@@ -510,11 +533,19 @@ def _fwd_qknorm_call(q3, k3, v3, s3, *, scale, t_actual, bounded, grid, BLOCK_Q)
 
 
 def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, o_ref,
-                             dq_ref, dk_ref, dv_ref, ds_ref, *, scale, t_actual):
+                             dq_ref, dk_ref, dv_ref, ds_ref, *, scale, t_actual,
+                             bounded):
     """Single-program backward with the QK-norm projection math.
 
     Emits raw-input grads: dq = (I − qn qnᵀ)/‖q‖ · (s ⊙ dq̂)  (justnorm VJP),
-    likewise dk, plus the per-program sqk grad Σ_t (dq̂⊙qn + dk̂⊙kn)."""
+    likewise dk, plus the per-program sqk grad Σ_t (dq̂⊙qn + dk̂⊙kn).
+
+    ``bounded=True`` (static "bounded" mode only) recomputes p with the SAME
+    _BOUNDED_EXP_FLOOR clamp as the forward — exp(max(s − bound, floor) −
+    (lse − bound)) — so the recomputed softmax matches the forward's even
+    when the clamp fired.  In "rowmax"/"auto" modes the plain exp(s − lse)
+    is exact (shift-invariance; the auto gate guarantees the bounded arm
+    only runs where the clamp is inert)."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -545,7 +576,13 @@ def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, o_ref,
     if t_actual < t_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < t_actual, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0])
+    if bounded:
+        bound = scale * jnp.max(s_vec * s_vec)
+        p = jnp.exp(jnp.maximum(s - bound, _BOUNDED_EXP_FLOOR) + (bound - lse_ref[0]))
+        if t_actual < t_pad:
+            p = jnp.where(col < t_actual, p, 0.0)  # clamp resurrects masked cols
+    else:
+        p = jnp.exp(s - lse_ref[0])
     if t_actual < t_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, p.shape, dimension=0)
         p = jnp.where(row < t_actual, p, 0.0)
@@ -578,10 +615,12 @@ def _bwd_fused_qknorm_kernel(q_ref, k_ref, v_ref, s_ref, do_ref, lse_ref, o_ref,
 
 
 def _bwd_qknorm(static, res, g):
-    # static = (scale, t_actual, mode); the backward is mode-independent — it
-    # recomputes p from the saved lse, which both stabilizers define
-    # consistently (p = exp(s − lse + log l) either way)
+    # static = (scale, t_actual, mode).  The backward recomputes p from the
+    # saved lse; in static "bounded" mode it applies the forward's underflow
+    # clamp (see _bwd_fused_qknorm_kernel), in "rowmax"/"auto" the plain
+    # exp(s − lse) is exact by shift-invariance.
     scale, t_actual = static[0], static[1]
+    bounded = len(static) > 2 and static[2] == "bounded"
     q3, k3, v3, s3, o3, lse = res
     bh, t_pad, d = q3.shape
     g = g.astype(o3.dtype)
@@ -590,7 +629,8 @@ def _bwd_qknorm(static, res, g):
     stat = pl.BlockSpec((1, t_pad, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     svec = pl.BlockSpec((1, 1, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv, ds3 = pl.pallas_call(
-        functools.partial(_bwd_fused_qknorm_kernel, scale=scale, t_actual=t_actual),
+        functools.partial(_bwd_fused_qknorm_kernel, scale=scale, t_actual=t_actual,
+                          bounded=bounded),
         grid=(bh,),
         in_specs=[full, full, full, svec, full, stat, full],
         out_specs=[full, full, full, svec],

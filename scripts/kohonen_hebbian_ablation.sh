@@ -32,7 +32,7 @@ run_variant() { # name hebbian_mode seed
     NVIT_SYSTEM__USE_DDP=false NVIT_SYSTEM__USE_TQDM=false NVIT_SYSTEM__DTYPE=float32 NVIT_SYSTEM__USE_AMP=false \
     NVIT_TRAINING__SEED=$seed \
     NVIT_DATA__AUGMENTATION__ENABLED=false \
-    timeout 1800 python -m nvit_tpu > "$OUT/$name/run.log" 2>&1
+    timeout 4500 python -m nvit_tpu > "$OUT/$name/run.log" 2>&1
 }
 
 run_variant heb_reference reference 42

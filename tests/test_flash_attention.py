@@ -317,3 +317,71 @@ def test_qknorm_bounded_softmax_fallback():
             gs = jax.grad(loss, argnums=3)(q, k, v, sqk)
         rs = jax.grad(loss_ref, argnums=3)(q, k, v, sqk)
         np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=2e-3, atol=2e-4, err_msg=regime)
+
+
+def test_qknorm_bounded_underflow_clamp():
+    """Round-4 soak-NaN regression (BASELINE.md round 4): sqk is learned with
+    a 32×-amplified effective LR (stored pre-scaled by base_scale) and drifts
+    far past the static-"bounded" mode's old design envelope — the flagship
+    soak measured sqk_eff 2.31 at iter 200 and NaN'd ~85 iters later, exactly
+    when bound = scale·max(sqk_eff²) crossed the full-row exp-underflow
+    threshold (scores ≥ −bound ⇒ min argument −2·bound; TPU flushes fp32
+    subnormals, so bound ≳ 44 can zero an entire row → l = 0 → 0/0).
+
+    The _BOUNDED_EXP_FLOOR clamp must make mode="bounded" finite at ANY
+    drift, with exact rowmax parity wherever the clamp is inert.
+    ≙ /root/reference/nvit/model.py:141-152 (sqk scaling; torch's row-max
+    softmax is drift-proof by construction — ours must be too)."""
+    from nvit_tpu.ops.attention import qknorm_project_xla
+    from nvit_tpu.ops.flash_attention import flash_attention_qknorm
+
+    b, h, t, d = 1, 2, 64, 64
+    scale = float(np.sqrt(d))
+    q, k, v = rand_qkv(33, b=b, h=h, t=t, d=d)
+
+    # --- full-underflow regime: one dominant sqk dim sets a huge bound while
+    # q/k live in its orthogonal complement, so every score is ~0 and the
+    # whole row underflows pre-clamp (even through CPU subnormals: the exp
+    # argument is below ln(fp32 subnormal min) ≈ −103.9).  Pre-fix this was
+    # 0/0 → NaN in forward AND backward.
+    q = q.at[..., 0].set(0.0)
+    k = k.at[..., 0].set(0.0)
+    sqk_drift = jnp.full((h, d), 0.1, jnp.float32).at[:, 0].set(3.7)
+    bound = scale * float(jnp.max(sqk_drift * sqk_drift))
+    assert bound > 104.0, "construction must exceed the subnormal floor"
+
+    def loss(q, k, v, s_):
+        return jnp.sum(jnp.square(flash_attention_qknorm(q, k, v, s_, scale, mode="bounded")))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_qknorm(q, k, v, sqk_drift, scale, mode="bounded")
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, sqk_drift)
+    assert bool(jnp.isfinite(out).all()), "bounded fwd must be finite at any sqk drift"
+    for i, g in enumerate(grads):
+        assert bool(jnp.isfinite(g).all()), f"bounded bwd grad {i} must be finite"
+    # the degenerate rows have near-constant scores, so the clamped uniform
+    # row is still close to the true softmax
+    qh, kh = qknorm_project_xla(q, k, sqk_drift, v.dtype)
+    ref = sdpa_xla(qh, kh, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    # --- moderate-drift regime (bound ≈ 26 — beyond the old <20 gate, clamp
+    # inert because arguments stay ≥ −2·bound > −60): bounded must match the
+    # XLA reference exactly as tightly as in the sound regime, fwd and bwd.
+    q2, k2, v2 = rand_qkv(34, b=b, h=h, t=t, d=d)
+    sqk_mod = jnp.full((h, d), 1.8, jnp.float32)
+    bmod = scale * float(jnp.max(sqk_mod * sqk_mod))
+    assert 20.0 < bmod and 2 * bmod < 60.0
+    with pltpu.force_tpu_interpret_mode():
+        out2 = flash_attention_qknorm(q2, k2, v2, sqk_mod, scale, mode="bounded")
+        gs = jax.grad(loss, argnums=3)(q2, k2, v2, sqk_mod)
+    qh2, kh2 = qknorm_project_xla(q2, k2, sqk_mod, v2.dtype)
+    ref2 = sdpa_xla(qh2, kh2, v2, scale)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=3e-4, atol=3e-5)
+
+    def loss_ref(q, k, v, s_):
+        qh, kh = qknorm_project_xla(q, k, s_, v.dtype)
+        return jnp.sum(jnp.square(sdpa_xla(qh, kh, v, scale)))
+
+    rs = jax.grad(loss_ref, argnums=3)(q2, k2, v2, sqk_mod)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=2e-3, atol=2e-4)
