@@ -343,6 +343,36 @@ class Trainer:
         }
         return jax.device_get(sub)
 
+    def _sqk_drift_metrics(self) -> dict[str, float]:
+        """Learned-sqk drift watch (round 4).  sqk is stored pre-scaled by
+        base_scale, so AdamW moves its EFFECTIVE value 1/base_scale ≈ 32×
+        faster than other params — the flagship soak measured sqk_eff past
+        2.3 within 200 iters of the LR peak.  ``scales/attn_bound`` =
+        softmax_scale·max(sqk_eff²) is the bounded-softmax stabilizer's
+        shift; since the round-4 underflow clamp it can no longer NaN, but
+        a row whose max score trails the bound by >60 degrades to uniform
+        attention — surface the drift at every eval so it is visible long
+        before that.  One scalar fetch (the max folds on device)."""
+        if not self.cfg.model.use_nvit:
+            return {}
+        p = self.state.params
+        leaves = [bp["sqk"] for bp in p["blocks"]]
+        if isinstance(p.get("cross_attention"), dict) and "sqk" in p["cross_attention"]:
+            leaves.append(p["cross_attention"]["sqk"])
+        m = self.cfg.model
+        eff_max = float(
+            jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
+        ) / m.base_scale
+        bound = float(np.sqrt(m.n_embd // m.n_head)) * eff_max * eff_max
+        if bound > 40.0 and not getattr(self, "_sqk_drift_warned", False):
+            self._sqk_drift_warned = True
+            self.logger.warning(
+                "sqk_eff drifted to %.2f (bounded-softmax shift %.1f): rows "
+                "whose max score trails it by >60 degrade to uniform "
+                "attention; consider model.bounded_softmax=rowmax", eff_max, bound,
+            )
+        return {"scales/sqk_eff_max": eff_max, "scales/attn_bound": bound}
+
     def _time_limit_reached(self, tlaunch: float) -> bool:
         """Launch-time-limit predicate, safe under multi-host SPMD.
 
@@ -646,6 +676,7 @@ class Trainer:
             **val_metrics,
             "optimizer/learning_rate": float(cosine_lr(cfg.optimizer, self.iter_num)),
             "training/global_step": self.iter_num,
+            **self._sqk_drift_metrics(),
         }
         self.last_metrics = dict(metrics)
         if self.metrics_writer is not None:

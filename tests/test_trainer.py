@@ -132,6 +132,13 @@ class TestTrainerEndToEnd:
         assert train_rows and eval_rows
         assert "val/top1_accuracy" in eval_rows[0]
         assert "val/consistency_loss" in eval_rows[0]  # kohonen breakdown
+        # round-4 sqk drift watch: effective sqk max + the bounded-softmax
+        # shift it implies, near init values at iter 0 (sqk_eff = 1)
+        assert abs(eval_rows[0]["scales/sqk_eff_max"] - 1.0) < 0.2
+        d_head = cfg.model.n_embd // cfg.model.n_head
+        assert eval_rows[0]["scales/attn_bound"] == pytest.approx(
+            np.sqrt(d_head) * eval_rows[0]["scales/sqk_eff_max"] ** 2
+        )
 
     def test_resume_continues(self, tmp_path):
         cfg = make_cfg(tmp_path)
