@@ -77,7 +77,11 @@ class ViTConfig:
     # all-sample direction; "sum" is the raw batch delta (rounds ≤3);
     # "off" disables the non-gradient channel (codebook learns by
     # backprop only, still through BMU gather + aux losses).
-    kohonen_hebbian: str = "sum"
+    # Default "reference" (since round 4): it wins the digits ablation on
+    # both seeds (96.54/96.88 vs sum's 96.28/96.28, BASELINE.md round-4
+    # ablation table) and is the only magnitude that does not collapse the
+    # codebook at flagship B·T; rounds ≤3 numbers were recorded with "sum".
+    kohonen_hebbian: str = "reference"
     local_quantization_weight: float = 0.1
     global_quantization_weight: float = 0.1
 
