@@ -175,12 +175,18 @@ def test_every_schema_field_is_env_overridable(tmp_path, monkeypatch):
 
 
 def test_kohonen_hebbian_enum_and_env_override():
-    """kohonen_hebbian: env-overridable enum; invalid values raise at validate()."""
+    """kohonen_hebbian: env-overridable enum; invalid values raise at validate().
+
+    The DEFAULT is pinned to "reference" (round-4 ablation, BASELINE.md):
+    per-step magnitude parity with the reference's B-iteration loop, the
+    only magnitude stable at flagship B*T — silent default drift would
+    invalidate both the recorded ablation and the soak configuration."""
     import pytest
 
     from nvit_tpu.configs import loader
     from nvit_tpu.configs.schema import ViTConfig
 
+    assert loader.load_config(env={}).model.kohonen_hebbian == "reference"
     cfg = loader.load_config(env={"NVIT_MODEL__KOHONEN_HEBBIAN": "reference"})
     assert cfg.model.kohonen_hebbian == "reference"
     cfg = loader.load_config(env={"NVIT_MODEL__KOHONEN_HEBBIAN": "off"})
