@@ -35,12 +35,21 @@ def _run_workers(nproc: int, outdir: Path, devices_per_proc: int, mode: str = "t
     )
     for attempt in range(2):
         port = _free_port()
+        # children log to FILES, not pipes: an undrained PIPE blocks a chatty
+        # child (orbax absl logging easily exceeds the 64 KB pipe buffer) at
+        # the write() mid-save, which then looks like a rendezvous hang and
+        # gets SIGKILLed at the deadline (observed: rank 0 -9 with its last
+        # log line mid-checkpoint)
+        logfiles = [
+            open(outdir / f"rank{r}.attempt{attempt}.log", "w+", encoding="utf-8")
+            for r in range(nproc)
+        ]
         procs = [
             subprocess.Popen(
                 [sys.executable, str(WORKER), str(r), str(nproc), str(port), str(outdir), mode],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, stdout=f, stderr=subprocess.STDOUT, text=True,
             )
-            for r in range(nproc)
+            for r, f in zip(range(nproc), logfiles)
         ]
         # poll rather than sequentially communicate(): if one rank dies early
         # (e.g. the coordinator lost the port-bind race), its peer hangs in
@@ -68,9 +77,16 @@ def _run_workers(nproc: int, outdir: Path, devices_per_proc: int, mode: str = "t
             for p in procs:
                 p.kill()
         outs, rcs = [], []
-        for p in procs:
-            out, _ = p.communicate(timeout=60)
-            outs.append(out)
+        for p, f in zip(procs, logfiles):
+            try:
+                p.wait(timeout=60)
+            except subprocess.TimeoutExpired:  # pragma: no cover
+                p.kill()
+                p.wait()
+            f.flush()
+            f.seek(0)
+            outs.append(f.read())
+            f.close()
             rcs.append(p.returncode)
         if all(rc == 0 for rc in rcs):
             return outs
