@@ -54,15 +54,28 @@ def _safe_norm(x: Array, axis: int = -1) -> Array:
     return jnp.where(d2 > 0, jnp.sqrt(safe), 0.0)
 
 
+def _safe_unit(x: Array) -> Array:
+    """x/‖x‖ whose gradient is 0 (not ~1e12) where x is exactly 0.
+
+    Clamping only the denominator (x / max(‖x‖, 1e-12)) keeps the VALUE
+    finite at x = 0 but its cotangent is upstream/1e-12 per element — one
+    collapsed SOM node then consumes the whole global grad-clip budget.
+    Zeroing the numerator branch too (double-where) gives the zero
+    cotangent consistent with _safe_norm; values are unchanged everywhere
+    (at x = 0 the quotient was already 0)."""
+    n = _safe_norm(x)[..., None]
+    num = jnp.where(n > 0, x, 0.0)
+    denom = jnp.where(n > 0, jnp.maximum(n, 1e-12), 1.0)
+    return num / denom
+
+
 def consistency_loss(local_repr: Array, global_repr: Array) -> Array:
     """1 − mean cosine similarity (≙ reference model.py:482-490).
 
-    Denominators are clamped (a SOM node pulled to exactly 0 must not NaN
-    the whole step — same hazard class as _safe_norm)."""
-    ln = local_repr.astype(jnp.float32)
-    gn = global_repr.astype(jnp.float32)
-    ln = ln / jnp.maximum(_safe_norm(ln)[..., None], 1e-12)
-    gn = gn / jnp.maximum(_safe_norm(gn)[..., None], 1e-12)
+    Normalization is collapse-safe (a SOM node pulled to exactly 0 must not
+    NaN the step or emit a clip-saturating gradient — see _safe_unit)."""
+    ln = _safe_unit(local_repr.astype(jnp.float32))
+    gn = _safe_unit(global_repr.astype(jnp.float32))
     return 1.0 - jnp.mean(jnp.sum(ln * gn, axis=-1))
 
 

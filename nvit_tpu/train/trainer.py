@@ -38,6 +38,7 @@ from nvit_tpu.ckpt.checkpoint import (
 from nvit_tpu.data.augment import preprocess
 from nvit_tpu.data.datasets import load_dataset
 from nvit_tpu.data.pipeline import device_prefetch, make_epoch_iterator
+from nvit_tpu.models.blocks import SQK_INIT_VALUE
 from nvit_tpu.models.schedules import cosine_lr
 from nvit_tpu.models.vit import estimate_flops_per_iter, num_params
 from nvit_tpu.obs.metrics import (
@@ -362,7 +363,7 @@ class Trainer:
         m = self.cfg.model
         eff_max = float(
             jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
-        ) / m.base_scale
+        ) * (SQK_INIT_VALUE / m.base_scale)
         bound = float(np.sqrt(m.n_embd // m.n_head)) * eff_max * eff_max
         if bound > 40.0 and not getattr(self, "_sqk_drift_warned", False):
             self._sqk_drift_warned = True

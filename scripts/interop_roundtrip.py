@@ -92,7 +92,6 @@ def main() -> int:
         config_from_reference_checkpoint,
         export_torch_checkpoint,
         import_torch_checkpoint,
-        params_from_state_dict,  # noqa: F401  (imported for cache warmth)
     )
     from nvit_tpu.data.datasets import load_digits_dataset
 

@@ -11,7 +11,9 @@
 #   reference  — batch delta / T (per-step magnitude parity with the ref loop)
 #   off        — gradient-only codebook
 # plus a reseeded "sum" to gauge run-to-run noise.  CPU, ~25 min total.
-set -e
+#
+# Deliberately NOT set -e: one variant timing out must not discard the
+# completed ones — failures are reported per-row in the summary instead.
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/hebbian_ablation}
 ITERS=${ITERS:-2000}
@@ -32,7 +34,8 @@ run_variant() { # name hebbian_mode seed
     NVIT_SYSTEM__USE_DDP=false NVIT_SYSTEM__USE_TQDM=false NVIT_SYSTEM__DTYPE=float32 NVIT_SYSTEM__USE_AMP=false \
     NVIT_TRAINING__SEED=$seed \
     NVIT_DATA__AUGMENTATION__ENABLED=false \
-    timeout 4500 python -m nvit_tpu > "$OUT/$name/run.log" 2>&1
+    timeout 4500 python -m nvit_tpu > "$OUT/$name/run.log" 2>&1 \
+    || echo "WARNING: $name exited rc=$? (see $OUT/$name/run.log)" >&2
 }
 
 run_variant heb_reference reference 42
@@ -43,7 +46,7 @@ run_variant heb_ref_s43   reference 43
 echo "=== kohonen_hebbian ablation (nvit1_k1, digits, no aug, $ITERS iters) ==="
 echo "heb_sum seed42 (side B, prior run): 96.28"
 for name in heb_reference heb_off heb_sum_s43 heb_ref_s43; do
-  best=$(grep top1 "$OUT/$name/out/metrics.jsonl" | \
-    python -c "import sys, json; print(max(json.loads(l)['val/top1_accuracy'] for l in sys.stdin))")
+  best=$(grep top1 "$OUT/$name/out/metrics.jsonl" 2>/dev/null | \
+    python -c "import sys, json; ls=[json.loads(l)['val/top1_accuracy'] for l in sys.stdin]; print(max(ls) if ls else 'FAILED')")
   echo "$name: best val top-1 = $best %"
 done

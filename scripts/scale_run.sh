@@ -17,12 +17,41 @@ cd "$(dirname "$0")/.."
 
 ITERS="${1:-200}"
 
-NCHIPS=$(python - <<'EOF'
+# One probe process, under the chip lock (CLAUDE.md CHIP-LOCK PROTOCOL —
+# every backend init on a tunneled chip must serialize): counts chips AND
+# runs the tuning pre-flight.  The kernel tile constants and dispatch
+# crossovers are v5e-MEASURED (ops/tuning.py); on any other chip generation
+# warn loudly (stderr) and name the override envs + the roofline table
+# coverage instead of silently inheriting v5e heuristics
+# (docs/PERFORMANCE.md "What changes on v5p").  Stdout is ONLY the count.
+NCHIPS=$(flock -w 7200 /tmp/nvit_tpu.lock python - <<'EOF'
+import sys
+
 import jax
+
 try:
-    print(len(jax.devices()))
+    devices = jax.devices()
 except Exception:
     print(0)
+    sys.exit(0)
+print(len(devices))
+
+kind = devices[0].device_kind
+known = ("v5 lite", "v5e", "v5p", "v4", "v6")
+if not any(k in kind.lower() for k in known):
+    print(f"scale_run PRE-FLIGHT: device kind {kind!r} missing from the "
+          "PEAK_BF16/HBM_BW tables (bench.py) — MFU/traffic readouts will "
+          "assume v5e. Add the chip there first.", file=sys.stderr)
+if "v5 lite" not in kind.lower() and "v5e" not in kind.lower():
+    import nvit_tpu.ops.tuning as t
+    print(f"scale_run PRE-FLIGHT: {kind}: kernel tuning constants are "
+          "v5e-measured. Review before a production run (NVIT_TUNE_* envs):",
+          file=sys.stderr)
+    print(f"  FUSED_BWD_MAX_T={t.FUSED_BWD_MAX_T} BLOCK_Q_CAP_FWD={t.BLOCK_Q_CAP_FWD} "
+          f"BLOCK_Q_CAP_BWD={t.BLOCK_Q_CAP_BWD}", file=sys.stderr)
+    print(f"  GATED_MLP tiles fwd=({t.GATED_MLP_FWD_ROW},{t.GATED_MLP_FWD_COL}) "
+          f"bwd=({t.GATED_MLP_BWD_ROW},{t.GATED_MLP_BWD_COL}) "
+          f"auto_max_embd={t.GATED_MLP_AUTO_MAX_EMBD}", file=sys.stderr)
 EOF
 )
 
@@ -33,31 +62,6 @@ if [ "${NCHIPS}" -lt 2 ]; then
   echo "chips at the single-chip operating point (12 imgs/chip)." >&2
   exit 2
 fi
-
-# pre-flight: the kernel tile constants and dispatch crossovers are
-# v5e-MEASURED (ops/tuning.py).  On any other chip generation warn loudly
-# and name the override envs + the roofline table coverage, instead of
-# silently inheriting v5e heuristics (docs/PERFORMANCE.md "What changes on
-# v5p").
-python - <<'EOF'
-import jax
-
-kind = jax.devices()[0].device_kind
-known = ("v5 lite", "v5e", "v5p", "v4", "v6")
-if not any(k in kind.lower() for k in known):
-    print(f"scale_run PRE-FLIGHT: device kind {kind!r} missing from the "
-          "PEAK_BF16/HBM_BW tables (bench.py) — MFU/traffic readouts will "
-          "assume v5e. Add the chip there first.")
-if "v5 lite" not in kind.lower() and "v5e" not in kind.lower():
-    import nvit_tpu.ops.tuning as t
-    print(f"scale_run PRE-FLIGHT: {kind}: kernel tuning constants are "
-          "v5e-measured. Review before a production run (NVIT_TUNE_* envs):")
-    print(f"  FUSED_BWD_MAX_T={t.FUSED_BWD_MAX_T} BLOCK_Q_CAP_FWD={t.BLOCK_Q_CAP_FWD} "
-          f"BLOCK_Q_CAP_BWD={t.BLOCK_Q_CAP_BWD}")
-    print(f"  GATED_MLP tiles fwd=({t.GATED_MLP_FWD_ROW},{t.GATED_MLP_FWD_COL}) "
-          f"bwd=({t.GATED_MLP_BWD_ROW},{t.GATED_MLP_BWD_COL}) "
-          f"auto_max_embd={t.GATED_MLP_AUTO_MAX_EMBD}")
-EOF
 
 OUT="out/scale_nvitl_dp${NCHIPS}"
 echo "scale_run: nViT-L/16 dp${NCHIPS} (fsdp on by default: ZeRO-sharded params+moments free ~4.3 GB/chip at this scale), batch $((12 * NCHIPS)), ${ITERS} iters -> ${OUT}"

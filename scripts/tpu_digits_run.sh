@@ -17,13 +17,21 @@ cd "$(dirname "$0")/.."
 
 OUT=${1:-/tmp/digits_tpu}
 ITERS=${ITERS:-2000}
-# refuse a non-empty pre-existing outdir rather than rm -rf'ing a
-# caller-supplied path (a mistyped first arg must never delete anything)
+# Idempotent AND safe: a dir carrying our marker (a prior run of THIS
+# script, possibly partial) is wiped and redone — watchdog retries must
+# converge.  A non-empty dir WITHOUT the marker is refused: a mistyped
+# first arg must never delete anything we didn't create.
+MARKER=".tpu_digits_run"
 if [ -d "$OUT" ] && [ -n "$(ls -A "$OUT" 2>/dev/null)" ]; then
-  echo "refusing to reuse non-empty $OUT — pass a fresh directory" >&2
-  exit 1
+  if [ -f "$OUT/$MARKER" ]; then
+    rm -rf "$OUT"
+  else
+    echo "refusing to touch non-empty $OUT (no $MARKER marker) — pass a fresh directory" >&2
+    exit 1
+  fi
 fi
 mkdir -p "$OUT"
+touch "$OUT/$MARKER"
 
 # keep the axon plugin's sitecustomize entry on PYTHONPATH (CLAUDE.md)
 env PYTHONPATH="$PWD:/root/.axon_site" \

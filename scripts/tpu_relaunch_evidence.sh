@@ -9,13 +9,21 @@ cd "$(dirname "$0")/.."
 
 OUT=${1:-/tmp/r3_relaunch}
 ITERS=${2:-60}
-# refuse a non-empty pre-existing outdir rather than rm -rf'ing a
-# caller-supplied path (a mistyped first arg must never delete anything)
+# Idempotent AND safe: a dir carrying our marker (a prior run of THIS
+# script, possibly partial) is wiped and redone — watchdog retries must
+# converge.  A non-empty dir WITHOUT the marker is refused: a mistyped
+# first arg must never delete anything we didn't create.
+MARKER=".tpu_relaunch_evidence"
 if [ -d "$OUT" ] && [ -n "$(ls -A "$OUT" 2>/dev/null)" ]; then
-  echo "refusing to reuse non-empty $OUT — pass a fresh directory" >&2
-  exit 1
+  if [ -f "$OUT/$MARKER" ]; then
+    rm -rf "$OUT"
+  else
+    echo "refusing to touch non-empty $OUT (no $MARKER marker) — pass a fresh directory" >&2
+    exit 1
+  fi
 fi
 mkdir -p "$OUT"
+touch "$OUT/$MARKER"
 
 common=(
     NVIT_DATA__DATASET=synthetic "NVIT_DATA__OUT_DIR=$OUT" "NVIT_DATA__DATA_DIR=$OUT/data"

@@ -22,16 +22,15 @@ def test_env_overrides(monkeypatch):
         assert tuning.FUSED_BWD_MAX_T == 2048
         assert tuning.GATED_MLP_AUTO_MAX_EMBD == 1024
 
-        # the auto dispatch boundary must honor the override
+        # the auto dispatch boundary must honor the override: _use_mlp_kernel
+        # imports the constant at CALL time, so the reload above is the only
+        # thing making this pass (no setattr shortcuts — they'd make the
+        # assertion tautological)
         from nvit_tpu.configs.schema import ViTConfig
         from nvit_tpu.models import blocks
 
-        monkeypatch.setattr(blocks, "ViTConfig", ViTConfig, raising=False)
         cfg = ViTConfig(
             n_embd=1024, n_head=16, flash_attn=True, gated_mlp_kernel="auto"
-        )
-        monkeypatch.setattr(
-            "nvit_tpu.ops.tuning.GATED_MLP_AUTO_MAX_EMBD", 1024, raising=True
         )
         assert blocks._use_mlp_kernel(cfg) is True
     finally:
