@@ -40,6 +40,8 @@ common=(
     NVIT_SYSTEM__QUICK_VALIDATION_SIZE=64
     NVIT_SYSTEM__USE_TQDM=false NVIT_SYSTEM__DTYPE=float32 NVIT_SYSTEM__USE_AMP=false
     NVIT_SYSTEM__LOG_MEMORY=true
+    # relaunches reload the mesh program from cache instead of recompiling
+    "NVIT_SYSTEM__COMPILATION_CACHE_DIR=$OUT/jax_cache"
 )
 
 launch=0
