@@ -131,6 +131,12 @@ bench *ARGS:
 tpu-evidence *ARGS:
     bash scripts/tpu_evidence.sh {{ARGS}}
 
+# All-features endurance soak (no TPU needed): dp4×tp2 + FSDP + SOM +
+# shard_mapped flash kernels trained across relaunches on the 8-device
+# virtual CPU mesh; summary in <outdir>/soak_summary.json.
+cpu-mesh-soak *ARGS:
+    bash scripts/cpu_mesh_soak.sh {{ARGS}}
+
 clean:
     rm -rf .cache .pytest_cache .jax_cache
     find . -type d -name "__pycache__" -exec rm -rf {} +
