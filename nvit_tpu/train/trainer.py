@@ -435,9 +435,30 @@ class Trainer:
                     self.out_dir, wandb_mode=cfg.wandb.mode, run_name=cfg.wandb.run_name,
                     project=cfg.wandb.project, config=cfg.to_dict(),
                 )
-            if (self.out_dir / "finished").exists() and cfg.training.init_from == "resume":
-                self.logger.info("finished sentinel present; not relaunching")
-                return
+            sentinel = self.out_dir / "finished"
+            if sentinel.exists() and cfg.training.init_from == "resume":
+                # "max_iters:N" sentinels are clearable: resuming with a
+                # RAISED max_iters is a deliberate run extension.  Early-stop
+                # sentinels are final (patience was exhausted).  The decision
+                # is a pure function of (sentinel text, cfg) so every host
+                # reaches it identically; only the master unlinks.
+                text = sentinel.read_text().strip()
+                done_at = None
+                if text.startswith("max_iters:"):
+                    try:
+                        done_at = int(text.split(":", 1)[1])
+                    except ValueError:
+                        done_at = None
+                if done_at is not None and cfg.training.max_iters > done_at:
+                    self.logger.info(
+                        "finished sentinel from a completed max_iters=%d run; "
+                        "extending to max_iters=%d", done_at, cfg.training.max_iters,
+                    )
+                    if self.is_master:
+                        sentinel.unlink(missing_ok=True)
+                else:
+                    self.logger.info("finished sentinel present; not relaunching")
+                    return
 
             pbar = None
             if cfg.system.use_tqdm:
@@ -565,6 +586,19 @@ class Trainer:
                         pbar.update(1)
 
                 epoch += 1
+
+            # a run that reached max_iters is DONE — write the relaunch
+            # sentinel so supervisors stop instead of burning no-op
+            # relaunches (the reference only writes it on early stop,
+            # train.py:757-760, so its relauncher loops on completed runs
+            # until its own cap — PARITY.md).  Time-limit and
+            # max_iters_per_launch exits must NOT mark finished.
+            if self.iter_num >= cfg.training.max_iters and not self.finished:
+                self.logger.info(
+                    "Reached max_iters (%d); writing finished sentinel",
+                    cfg.training.max_iters,
+                )
+                self.mark_training_finished(f"max_iters:{cfg.training.max_iters}")
 
             if pbar is not None:
                 pbar.close()
@@ -820,13 +854,17 @@ class Trainer:
         except Exception as e:
             self.logger.warning("artifact logging failed: %s", e)
 
-    def mark_training_finished(self) -> None:
+    def mark_training_finished(self, reason: str = "early_stop") -> None:
         """Sentinel for the relaunch protocol (≙ train.py:1074-1079).
         All processes stop (the early-stop decision is identical everywhere —
-        same replicated metrics); only the master writes the sentinel."""
+        same replicated metrics); only the master writes the sentinel.
+
+        The file records WHY the run finished: ``early_stop`` is final, while
+        ``max_iters:N`` lets a later resume with a RAISED max_iters clear the
+        sentinel and extend the run (see train())."""
         self.finished = True
         if self.is_master:
-            (self.out_dir / "finished").write_text("1")
+            (self.out_dir / "finished").write_text(reason)
 
     # --------------------------------------------------------------- cleanup
     def _install_signal_handlers(self) -> None:

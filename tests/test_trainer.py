@@ -316,6 +316,52 @@ class TestTrainerEndToEnd:
         assert (tmp_path / "out" / "finished").exists()
         assert t.finished
 
+    def _resume(self, cfg, tmp_path, **tr):
+        return dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, init_from="resume", **tr),
+            data=dataclasses.replace(cfg.data, checkpoint_dir=str(tmp_path / "out")),
+        )
+
+    def test_finished_sentinel_written_at_max_iters(self, tmp_path):
+        """A run that reached max_iters is DONE: the sentinel stops relaunch
+        supervisors from burning no-op relaunches (the reference only writes
+        it on early stop, train.py:757-760 — PARITY.md)."""
+        cfg = make_cfg(tmp_path)
+        t = Trainer(config=cfg)
+        t.train()
+        assert t.iter_num == 6 and t.finished
+        assert (tmp_path / "out" / "finished").read_text() == "max_iters:6"
+        # a same-max_iters relaunch is refused (no retraining happens)
+        t2 = Trainer(config=self._resume(cfg, tmp_path))
+        t2.train()
+        assert t2.iter_num == 6
+
+    def test_completed_run_extends_with_raised_max_iters(self, tmp_path):
+        """Resuming with a RAISED max_iters is a deliberate run extension:
+        the max_iters sentinel is cleared and training continues, then the
+        sentinel is re-written at the new budget."""
+        cfg = make_cfg(tmp_path)
+        Trainer(config=cfg).train()
+        out = tmp_path / "out"
+        assert (out / "finished").read_text() == "max_iters:6"
+        t2 = Trainer(config=self._resume(cfg, tmp_path, max_iters=9))
+        t2.train()
+        assert t2.iter_num == 9 and t2.finished
+        assert (out / "finished").read_text() == "max_iters:9"
+
+    def test_early_stop_sentinel_is_final(self, tmp_path):
+        """An early-stop sentinel refuses even a raised max_iters (patience
+        was exhausted — extension must be an explicit new run)."""
+        cfg = make_cfg(tmp_path)
+        Trainer(config=cfg).train()
+        out = tmp_path / "out"
+        (out / "finished").write_text("early_stop")
+        t2 = Trainer(config=self._resume(cfg, tmp_path, max_iters=9))
+        t2.train()
+        assert t2.iter_num == 6
+        assert (out / "finished").read_text() == "early_stop"
+
     def test_baseline_profile_runs(self, tmp_path):
         """n0k0: the profile the reference crashes on (RMSNorm bug) must work."""
         cfg = make_cfg(tmp_path)
