@@ -441,8 +441,13 @@ class Trainer:
                 # RAISED max_iters is a deliberate run extension.  Early-stop
                 # sentinels are final (patience was exhausted).  The decision
                 # is a pure function of (sentinel text, cfg) so every host
-                # reaches it identically; only the master unlinks.
-                text = sentinel.read_text().strip()
+                # reaches it identically; only the master unlinks — and a
+                # peer whose read races that unlink (shared filesystem)
+                # treats it as already-cleared, which IS the master's verdict.
+                try:
+                    text = sentinel.read_text().strip()
+                except FileNotFoundError:
+                    text = "max_iters:-1"  # cleared by master: always extend
                 done_at = None
                 if text.startswith("max_iters:"):
                     try:
