@@ -1,9 +1,23 @@
 """Summarize a tpu_soak.sh run into one JSON report (stability evidence).
 
 Reads $OUT/metrics.jsonl + $OUT/soak.log and reports, per launch segment:
-step-time mean of the first vs last quartile (drift), host RSS first/last
+step-time mean of the first vs last quartile (drift), host RSS first/last/max
 (growth), and across the whole soak: eval-loss continuity at relaunch
-boundaries (no loss jump on resume), relaunch count, SIGTERM recovery.
+boundaries (no loss jump on resume), relaunch count, SIGTERM recovery, and a
+flagged ``anomalies`` list (RSS spikes, in-band recompiles, unexpected
+zero-progress launches) so the report needs no manual interpretation.
+
+Segmentation parses soak.log launch markers SEQUENTIALLY (launch numbers in
+the log restart when a resume supervisor re-invokes the soak script, so the
+printed numbers are labels, not identities):
+
+* a launch whose exit iteration equals the previous high-water mark made no
+  checkpoint progress — it gets a first-class zero-step entry with a reason
+  (SIGTERM-before-first-checkpoint, or post-sentinel no-op) instead of
+  silently duplicating a relaunch boundary;
+* a launch with a start marker but NO exit marker was killed externally
+  (outer timeout / supervisor restart) — its metrics rows are merged into
+  the next closed segment with a note, since its endpoint is unknowable.
 
 ≙ the reference's 24 h relaunch protocol (train.py:857-862, 1074-1079);
 the reference ships no stability harness — this is our own bar.
@@ -27,7 +41,48 @@ def quartile_mean(xs: list[float], first: bool) -> float | None:
     return round(sum(sel) / len(sel), 2)
 
 
-def main(out_dir: str) -> None:
+def _median(xs: list[float]) -> float | None:
+    if not xs:
+        return None
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def parse_launch_records(log: str) -> list[dict]:
+    """Sequential launch records from soak.log markers.
+
+    Returns [{seq, label, exit_iter (None if no exit marker), rc, sigterm}].
+    """
+    records: list[dict] = []
+    open_rec: dict | None = None
+    for line in log.splitlines():
+        m = re.match(r"=== soak launch (\d+) start", line)
+        if m:
+            # a start while a record is open ⇒ the previous launch died
+            # without its exit marker (outer timeout / supervisor restart)
+            open_rec = {
+                "seq": len(records) + 1,
+                "label": int(m.group(1)),
+                "exit_iter": None,
+                "rc": None,
+                "sigterm": False,
+            }
+            records.append(open_rec)
+            continue
+        m = re.match(r"=== SIGTERM launch", line)
+        if m and open_rec is not None:
+            open_rec["sigterm"] = True
+            continue
+        m = re.match(r"=== soak launch (\d+) exit rc=(\d+) iter=(\S+)", line)
+        if m and open_rec is not None:
+            open_rec["rc"] = int(m.group(2))
+            open_rec["exit_iter"] = int(m.group(3)) if m.group(3).isdigit() else None
+            open_rec = None
+    return records
+
+
+def build_report(out_dir: str | Path) -> dict:
     out = Path(out_dir)
     # a SIGTERM/SIGKILL landing mid f.write() leaves a truncated JSON line
     # that the next launch appends after — skip it, don't lose the report
@@ -41,40 +96,89 @@ def main(out_dir: str) -> None:
     train_rows = [r for r in rows if "train/batch_time_ms" in r]
     eval_rows = [r for r in rows if "val/loss" in r]
 
-    # launch boundaries: _step is forward-only across a clean resume (the
-    # first row after a resume is already past the last row before the kill),
-    # so steps alone can't split segments — use the soak.log exit markers
-    # ("=== soak launch N exit rc=0 iter=XXXX"); every exit followed by a
-    # subsequent launch start is a relaunch boundary at that iteration.
     log = (out / "soak.log").read_text() if (out / "soak.log").exists() else ""
-    exit_iters = [int(m) for m in re.findall(r"=== soak launch \d+ exit rc=\d+ iter=(\d+)", log)]
-    launches = len(re.findall(r"=== soak launch \d+ start", log))
-    boundary_iters = exit_iters[: launches - 1] if launches > 1 else []
+    records = parse_launch_records(log)
+    sigterms = sum(1 for r in records if r["sigterm"])
+    sentinel = (out / "finished").read_text().strip() if (out / "finished").exists() else None
 
-    segments: list[list[dict]] = [[] for _ in range(len(boundary_iters) + 1)]
-    for r in train_rows:
-        seg_idx = sum(1 for b in boundary_iters if r["_step"] > b)
-        segments[seg_idx].append(r)
-
-    seg_reports = []
-    for i, seg in enumerate(segments, 1):
-        times = [r["train/batch_time_ms"] for r in seg]
-        rss = [r.get("system/ram_used_gb") for r in seg if r.get("system/ram_used_gb")]
+    # ---- segmentation over the forward-only iteration axis ----
+    seg_reports: list[dict] = []
+    prev = 0  # checkpoint high-water mark
+    pending: list[dict] = []  # launches with no exit marker (endpoint unknown)
+    for rec in records:
+        if rec["exit_iter"] is None:
+            pending.append(rec)
+            continue
+        if rec["exit_iter"] <= prev and not pending:
+            # zero-progress launch: first-class entry, with the reason
+            if rec["sigterm"]:
+                reason = "SIGTERM before first post-resume checkpoint (preemption target)"
+            elif sentinel and rec["seq"] == len(records):
+                reason = f"post-sentinel no-op (finished={sentinel!r} already present)"
+            else:
+                reason = "no checkpoint progress (killed before first post-resume checkpoint)"
+            seg_reports.append(
+                {
+                    "launches": [rec["seq"]],
+                    "steps": [],
+                    "logs": 0,
+                    "step_ms_first_q": None,
+                    "step_ms_last_q": None,
+                    "rss_gb_first": None,
+                    "rss_gb_last": None,
+                    "rss_gb_max": None,
+                    "reason": reason,
+                }
+            )
+            continue
+        seg_rows = [r for r in train_rows if prev < r["_step"] <= rec["exit_iter"]]
+        times = [r["train/batch_time_ms"] for r in seg_rows]
+        rss = [r["system/ram_used_gb"] for r in seg_rows if r.get("system/ram_used_gb")]
+        entry = {
+            "launches": [p["seq"] for p in pending] + [rec["seq"]],
+            "steps": [seg_rows[0]["_step"], seg_rows[-1]["_step"]] if seg_rows else [],
+            "logs": len(seg_rows),
+            "step_ms_first_q": quartile_mean(times, True),
+            "step_ms_last_q": quartile_mean(times, False),
+            "rss_gb_first": round(rss[0], 3) if rss else None,
+            "rss_gb_last": round(rss[-1], 3) if rss else None,
+            "rss_gb_max": round(max(rss), 3) if rss else None,
+        }
+        if pending:
+            entry["note"] = (
+                f"launch(es) {[p['seq'] for p in pending]} exited without a marker "
+                "(outer timeout / supervisor restart); rows merged into this segment"
+            )
+        seg_reports.append(entry)
+        prev = rec["exit_iter"]
+        pending = []
+    if pending:  # log ends mid-launch
+        seg_rows = [r for r in train_rows if r["_step"] > prev]
+        times = [r["train/batch_time_ms"] for r in seg_rows]
+        rss = [r["system/ram_used_gb"] for r in seg_rows if r.get("system/ram_used_gb")]
         seg_reports.append(
             {
-                "launch": i,
-                "steps": [seg[0]["_step"], seg[-1]["_step"]] if seg else [],
-                "logs": len(seg),
+                "launches": [p["seq"] for p in pending],
+                "steps": [seg_rows[0]["_step"], seg_rows[-1]["_step"]] if seg_rows else [],
+                "logs": len(seg_rows),
                 "step_ms_first_q": quartile_mean(times, True),
                 "step_ms_last_q": quartile_mean(times, False),
                 "rss_gb_first": round(rss[0], 3) if rss else None,
                 "rss_gb_last": round(rss[-1], 3) if rss else None,
+                "rss_gb_max": round(max(rss), 3) if rss else None,
+                "note": "log ends without an exit marker for these launches",
             }
         )
 
-    # eval continuity at relaunch boundaries: the first eval loss after a
-    # resume must be within tol of the last eval loss before the cut
-    # (training state really round-tripped, not restarted)
+    # ---- eval continuity at UNIQUE relaunch boundaries ----
+    # (a zero-progress launch repeats the previous exit iter — that is one
+    # boundary in the metrics timeline, not two)
+    uniq_exits: list[int] = []
+    for rec in records:
+        e = rec["exit_iter"]
+        if e is not None and (not uniq_exits or e > uniq_exits[-1]):
+            uniq_exits.append(e)
+    boundary_iters = uniq_exits[:-1]  # the final exit ends the soak
     boundaries = []
     for b in boundary_iters:
         before = [r for r in eval_rows if r["_step"] <= b]
@@ -94,14 +198,45 @@ def main(out_dir: str) -> None:
                 }
             )
 
-    sigterms = len(re.findall(r"=== SIGTERM launch", log))
+    # ---- anomaly flags: the report should not need manual interpretation ----
+    anomalies: list[dict] = []
+    med_rss = _median([s["rss_gb_max"] for s in seg_reports if s["rss_gb_max"]])
+    med_step = _median([s["step_ms_last_q"] for s in seg_reports if s["step_ms_last_q"]])
+    for s in seg_reports:
+        if med_rss and s["rss_gb_max"] and s["rss_gb_max"] > max(2 * med_rss, med_rss + 8):
+            a = {
+                "type": "rss_spike",
+                "launches": s["launches"],
+                "rss_gb_max": s["rss_gb_max"],
+                "median_rss_gb": round(med_rss, 3),
+            }
+            if med_step and s["step_ms_first_q"] and s["step_ms_first_q"] > 3 * med_step:
+                a["likely_cause"] = (
+                    "in-band XLA recompile (first-quartile step "
+                    f"{s['step_ms_first_q']} ms vs median {round(med_step, 1)} ms)"
+                )
+            anomalies.append(a)
+        elif med_step and s["step_ms_first_q"] and s["step_ms_first_q"] > 5 * med_step and s["logs"]:
+            anomalies.append(
+                {
+                    "type": "recompile",
+                    "launches": s["launches"],
+                    "step_ms_first_q": s["step_ms_first_q"],
+                    "median_step_ms": round(med_step, 1),
+                }
+            )
+        if s["logs"] == 0 and "SIGTERM" not in s.get("reason", "") and "post-sentinel" not in s.get("reason", ""):
+            anomalies.append(
+                {"type": "unexplained_zero_progress", "launches": s["launches"], "reason": s.get("reason")}
+            )
 
     all_times = [r["train/batch_time_ms"] for r in train_rows]
     all_rss = [r["system/ram_used_gb"] for r in train_rows if r.get("system/ram_used_gb")]
-    report = {
+    return {
         "iters_reached": train_rows[-1]["_step"] if train_rows else 0,
-        "launches": launches,
+        "launches": len(records),
         "sigterm_kills": sigterms,
+        "finished_sentinel": sentinel,
         "relaunch_boundaries": boundaries,
         "step_ms_global_first_q": quartile_mean(all_times, True),
         "step_ms_global_last_q": quartile_mean(all_times, False),
@@ -109,9 +244,13 @@ def main(out_dir: str) -> None:
         "rss_gb_max": round(max(all_rss), 3) if all_rss else None,
         "evals": len(eval_rows),
         "truncated_lines_skipped": bad,
+        "anomalies": anomalies,
         "segments": seg_reports,
     }
-    print(json.dumps(report, indent=1))
+
+
+def main(out_dir: str) -> None:
+    print(json.dumps(build_report(out_dir), indent=1))
 
 
 if __name__ == "__main__":
