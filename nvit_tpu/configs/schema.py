@@ -257,6 +257,9 @@ class DataConfig:
     checkpoint_dir: str = "./out"
     checkpoint_file: str = "checkpoint_latest"
     checkpoint_backend: str = "npz"  # npz (atomic, async writes) | orbax (sharded multi-host IO)
+    # opt-in checksum-pinned CIFAR fetch on the master process (needs egress);
+    # ≙ reference train.py:283-301 torchvision download=master_process
+    download: bool = False
     num_workers: int = 4
     prefetch: int = 2
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)

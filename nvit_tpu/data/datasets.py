@@ -20,8 +20,12 @@ device (see data/augment.py) — host work is just IO + decode.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import pickle
 import tarfile
+import time
+import urllib.request
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -50,30 +54,132 @@ def _maybe_extract(root: Path, archive_name: str, member_dir: str) -> None:
     archive = root / archive_name
     if archive.exists() and not (root / member_dir).exists():
         with tarfile.open(archive, "r:gz") as tf:
-            tf.extractall(root)
+            try:
+                tf.extractall(root, filter="data")  # refuse links/devices/abs paths
+            except TypeError:  # pragma: no cover — pre-3.12 tarfile
+                tf.extractall(root)
 
 
-def load_cifar(data_dir: str | Path, *, variant: str = "cifar10", train: bool = True) -> ArrayDataset:
+# Canonical CIFAR sources (≙ torchvision's pinned URLs, reference
+# train.py:283-301 download=master_process).  sha256 over the .tar.gz.
+# NVIT_CIFAR{10,100}_SHA256 env overrides exist in case the upstream
+# archive is ever re-rolled.
+_CIFAR_SOURCES = {
+    "cifar10": (
+        "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+        "cifar-10-python.tar.gz",
+        "cifar-10-batches-py",
+        "6d958be074577803d12ecdefd02955f39262c83c16fe9348329d7fe0b5c001ce",
+    ),
+    "cifar100": (
+        "https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+        "cifar-100-python.tar.gz",
+        "cifar-100-python",
+        "85cd44d02ba6437773c5bbd22e183051d648de2e7d6b014e1ef29b855ba677a7",
+    ),
+}
+
+
+def _cifar_required_files(base: Path, variant: str) -> list[Path]:
+    if variant == "cifar10":
+        return [base / f"data_batch_{i}" for i in range(1, 6)] + [base / "test_batch"]
+    return [base / "train", base / "test"]
+
+
+def cifar_ready(data_dir: str | Path, variant: str) -> bool:
+    """True when the extracted CIFAR batch files are all present."""
+    base = Path(data_dir) / _CIFAR_SOURCES[variant][2]
+    return all(p.exists() for p in _cifar_required_files(base, variant))
+
+
+def download_cifar(
+    data_dir: str | Path,
+    variant: str = "cifar10",
+    *,
+    url: str | None = None,
+    sha256: str | None = None,
+    timeout: float = 600.0,
+) -> Path:
+    """Opt-in, checksum-pinned CIFAR download (``data.download=true``).
+
+    ≙ reference train.py:283-301 (torchvision ``download=master_process``).
+    Fetches to ``<data_dir>/<archive>.part``, verifies sha256, atomically
+    renames, extracts.  Idempotent: a present archive or extracted dir
+    short-circuits.  Callers are responsible for master-process gating
+    (see Trainer._load_data); this function is jax-free.
+    """
+    src_url, archive_name, member_dir, pinned = _CIFAR_SOURCES[variant]
+    url = url or src_url
+    sha256 = sha256 or os.environ.get(f"NVIT_{variant.upper()}_SHA256") or pinned
+    root = Path(data_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    archive = root / archive_name
+    if cifar_ready(root, variant):
+        return root / member_dir
+    if not archive.exists():
+        part = archive.with_suffix(archive.suffix + ".part")
+        h = hashlib.sha256()
+        with urllib.request.urlopen(url, timeout=timeout) as resp, open(part, "wb") as f:
+            while chunk := resp.read(1 << 20):
+                h.update(chunk)
+                f.write(chunk)
+        if h.hexdigest() != sha256:
+            part.unlink()
+            raise RuntimeError(
+                f"{variant} download from {url} failed checksum verification: "
+                f"got sha256 {h.hexdigest()}, expected {sha256}. Refusing to use it. "
+                f"(Override with NVIT_{variant.upper()}_SHA256 only if the upstream "
+                f"archive legitimately changed.)"
+            )
+        part.rename(archive)  # atomic: readers never see a torn archive
+    _maybe_extract(root, archive_name, member_dir)
+    return root / member_dir
+
+
+def wait_for_cifar(data_dir: str | Path, variant: str, *, timeout: float = 900.0) -> None:
+    """Non-master hosts wait for the master's download+extract to complete
+    (shared-filesystem assumption, ≙ the reference's post-download barrier,
+    train.py:299-301)."""
+    deadline = time.monotonic() + timeout
+    while not cifar_ready(data_dir, variant):
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"timed out after {timeout}s waiting for the master process to "
+                f"download/extract {variant} under {data_dir}"
+            )
+        time.sleep(1.0)
+
+
+def load_cifar(
+    data_dir: str | Path,
+    *,
+    variant: str = "cifar10",
+    train: bool = True,
+    download: bool = False,
+    url: str | None = None,
+    sha256: str | None = None,
+) -> ArrayDataset:
     """Load CIFAR-10/100 from the standard python batch format."""
     root = Path(data_dir)
+    if variant not in _CIFAR_SOURCES:
+        raise ValueError(f"unknown CIFAR variant: {variant}")
+    if download and not cifar_ready(root, variant):
+        download_cifar(root, variant, url=url, sha256=sha256)
+    _, archive_name, member_dir, _ = _CIFAR_SOURCES[variant]
+    _maybe_extract(root, archive_name, member_dir)
+    base = root / member_dir
     if variant == "cifar10":
-        _maybe_extract(root, "cifar-10-python.tar.gz", "cifar-10-batches-py")
-        base = root / "cifar-10-batches-py"
         files = [base / f"data_batch_{i}" for i in range(1, 6)] if train else [base / "test_batch"]
         label_key, num_classes = b"labels", 10
-    elif variant == "cifar100":
-        _maybe_extract(root, "cifar-100-python.tar.gz", "cifar-100-python")
-        base = root / "cifar-100-python"
+    else:
         files = [base / ("train" if train else "test")]
         label_key, num_classes = b"fine_labels", 100
-    else:
-        raise ValueError(f"unknown CIFAR variant: {variant}")
 
     if not base.exists():
         raise FileNotFoundError(
-            f"{variant} not found under {root} (expected {base}). This environment "
-            f"cannot download datasets; place the standard python-format archive "
-            f"({base.name}) there, or use dataset='synthetic'."
+            f"{variant} not found under {root} (expected {base}). Place the standard "
+            f"python-format archive ({base.name}) there, set data.download=true "
+            f"(checksum-pinned fetch, needs egress), or use dataset='synthetic'."
         )
 
     imgs, labels = [], []
@@ -207,12 +313,18 @@ def load_digits_dataset(*, train: bool = True, image_size: int = 16) -> ArrayDat
 
 
 def load_dataset(
-    dataset: str, data_dir: str | Path, *, train: bool = True, image_size: int = 32, num_classes: int = 100
+    dataset: str,
+    data_dir: str | Path,
+    *,
+    train: bool = True,
+    image_size: int = 32,
+    num_classes: int = 100,
+    download: bool = False,
 ):
     """Dataset dispatch (≙ reference train.py:277-304 dataset selection)."""
     d = dataset.lower()
     if d in ("cifar10", "cifar100"):
-        return load_cifar(data_dir, variant=d, train=train)
+        return load_cifar(data_dir, variant=d, train=train, download=download)
     if d == "imagenet":
         return load_imagenet(data_dir, split="train" if train else "val", image_size=image_size)
     if d == "digits":

@@ -301,13 +301,21 @@ class Trainer:
     # ------------------------------------------------------------------ data
     def _load_data(self):
         cfg = self.cfg
+        # download is master-only (≙ reference download=master_process,
+        # train.py:283-301); other hosts wait for the shared-FS extract
+        if cfg.data.download and cfg.data.dataset in ("cifar10", "cifar100") and not self.is_master:
+            from nvit_tpu.data.datasets import wait_for_cifar
+
+            wait_for_cifar(cfg.data.data_dir, cfg.data.dataset)
         self.trainset = load_dataset(
             cfg.data.dataset, cfg.data.data_dir, train=True,
             image_size=cfg.model.image_size, num_classes=cfg.model.num_classes,
+            download=cfg.data.download and self.is_master,
         )
         self.valset = load_dataset(
             cfg.data.dataset, cfg.data.data_dir, train=False,
             image_size=cfg.model.image_size, num_classes=cfg.model.num_classes,
+            download=cfg.data.download and self.is_master,
         )
         self.steps_per_epoch = max(1, len(self.trainset) // cfg.training.batch_size)
 

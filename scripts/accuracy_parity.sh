@@ -24,11 +24,31 @@ have_imagenet=false
 [ -d "$DATA_DIR/cifar-100-python" ] || [ -f "$DATA_DIR/cifar-100-python.tar.gz" ] && have_cifar100=true
 [ -d "$DATA_DIR/imagenet/train" ] && [ -d "$DATA_DIR/imagenet/val" ] && have_imagenet=true
 
+# No archive staged?  On a machine WITH egress the checksum-pinned
+# auto-download (data.download=true, master-process only) makes the CIFAR
+# matrix a single command; probe reachability with a 5 s HEAD request.
+if ! $have_cifar100; then
+    if python - <<'EOF'
+import urllib.request, sys
+req = urllib.request.Request("https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz", method="HEAD")
+try:
+    urllib.request.urlopen(req, timeout=5)
+except Exception:
+    sys.exit(1)
+EOF
+    then
+        echo "accuracy-parity: no local archive; egress available — enabling auto-download"
+        export NVIT_DATA__DOWNLOAD=true
+        have_cifar100=true
+    fi
+fi
+
 if ! $have_cifar100 && ! $have_imagenet; then
-    echo "accuracy-parity: no real dataset found under $DATA_DIR" >&2
+    echo "accuracy-parity: no real dataset found under $DATA_DIR (and no egress)" >&2
     echo "stage one of:" >&2
     echo "  $DATA_DIR/cifar-100-python[.tar.gz]         (CIFAR-100 profile matrix)" >&2
     echo "  $DATA_DIR/imagenet/{train,val}/<wnid>/*.JPEG (ImageNet nViT-B/16)" >&2
+    echo "or run on a machine with egress (checksum-pinned CIFAR auto-download)." >&2
     exit 2
 fi
 

@@ -87,5 +87,5 @@ def test_load_dataset_dispatch_cifar(tmp_path):
 
 
 def test_missing_raises_helpfully(tmp_path):
-    with pytest.raises(FileNotFoundError, match="cannot download"):
+    with pytest.raises(FileNotFoundError, match="data.download=true"):
         load_cifar(tmp_path, variant="cifar10")
