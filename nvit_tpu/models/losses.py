@@ -61,8 +61,11 @@ def _safe_unit(x: Array) -> Array:
     finite at x = 0 but its cotangent is upstream/1e-12 per element — one
     collapsed SOM node then consumes the whole global grad-clip budget.
     Zeroing the numerator branch too (double-where) gives the zero
-    cotangent consistent with _safe_norm; values are unchanged everywhere
-    (at x = 0 the quotient was already 0)."""
+    cotangent consistent with _safe_norm.  Values match x/‖x‖ everywhere
+    except subnormal norms: at x = 0 the quotient was already 0, and for
+    0 < ‖x‖ < 1e-12 the result has magnitude ‖x‖/1e-12 ≪ 1 rather than 1
+    (kept: dividing by a subnormal fp32 norm risks inf, and a vector that
+    small IS a collapsed node for every consumer here)."""
     n = _safe_norm(x)[..., None]
     num = jnp.where(n > 0, x, 0.0)
     denom = jnp.where(n > 0, jnp.maximum(n, 1e-12), 1.0)

@@ -56,10 +56,10 @@ def _pad_len(t: int, dtype: Any = None) -> int:
         return lane
     sub = 8 if jnp.dtype(dtype).itemsize >= 4 else 16
     t_sub = ((t + sub - 1) // sub) * sub
-    return t_sub if t_sub <= _FUSED_BWD_MAX_T else lane
+    return t_sub if t_sub <= tuning.FUSED_BWD_MAX_T else lane
 
 
-def _pick_block_q(t_pad: int, cap: int = tuning.BLOCK_Q_CAP_BWD) -> int:
+def _pick_block_q(t_pad: int, cap: int | None = None) -> int:
     """Q-tile rows: full-T when it fits the cap (single program per bh —
     t_pad then only needs sublane alignment), else the largest 128-multiple
     divisor of t_pad ≤ cap.
@@ -69,6 +69,8 @@ def _pick_block_q(t_pad: int, cap: int = tuning.BLOCK_Q_CAP_BWD) -> int:
     the fp32 [BQ, T] softmax scratch (448×896×4 B ≈ 1.6 MB) still fits VMEM
     alongside K/V and the bwd temporaries.  The forward kernel (one [BQ, T]
     fp32 buffer live) can afford full-T tiles up to 1024."""
+    if cap is None:
+        cap = tuning.BLOCK_Q_CAP_BWD  # call-time read (NVIT_TUNE_*, ADVICE r4)
     if t_pad <= cap:
         return t_pad
     for cand in (1024, 896, 768, 640, 512, 448, 384, 256, 128):
@@ -207,7 +209,6 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
 # VMEM): ONE softmax recompute and 5 matmuls produce dq, dk and dv together —
 # the two-kernel FlashAttention-2 split recomputes the softmax twice and runs
 # 7 matmuls.  For this model family (T ≤ ~1k) this is the hot path.
-_FUSED_BWD_MAX_T = tuning.FUSED_BWD_MAX_T  # v5e-measured; NVIT_TUNE_FUSED_BWD_MAX_T
 
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
@@ -281,7 +282,7 @@ def _bwd(scale: float, t_actual: int, res, g):
     bh, t_pad, d = q3.shape
     g = g.astype(o3.dtype)
 
-    if t_pad <= _FUSED_BWD_MAX_T:
+    if t_pad <= tuning.FUSED_BWD_MAX_T:
         # Δ is computed inside the fused kernel (one fewer XLA pass over g, o)
         return _bwd_fused(scale, t_actual, q3, k3, v3, g, lse, o3)
 
@@ -456,6 +457,20 @@ _BOUND_GATE = 20.0
 # exp underflow; see _fwd_qknorm_kernel's docstring).  −60 is far below any
 # entry that matters (relative weight ≤ e^−60/l) yet safely above underflow
 # even after the bf16 cast of p (bf16 min subnormal ≈ 9.2e−41).
+#
+# COTANGENT APPROXIMATION in the fully-clamped regime (ADVICE r4): when the
+# clamp floors an ENTIRE row, the forward output is uniform attention —
+# constant w.r.t. the scores, so the true score gradient is exactly 0.  The
+# VJP kernels still compute ds = p·(dp − Δ) with p = 1/T as if the softmax
+# were live, emitting finite-but-nonzero cotangents for q/k/sqk there.  This
+# is deliberate: the regime requires max-score < bound − 60, i.e. a
+# pathologically mis-scaled row that the jax-level runtime fallback cond
+# (bound > rowmax headroom) already routes to the exact row-max kernel, and
+# zeroing ds would cost an extra [Tq, Tk] compare+select per tile in the hot
+# backward for a state no healthy run enters.  The approximate gradient
+# still points TOWARD reviving the row (it shrinks the bound via dsqk), so
+# optimization recovers rather than sticking.  tests/test_flash_attention
+# asserts finiteness, not exactness, in this regime — by design.
 _BOUNDED_EXP_FLOOR = -60.0
 
 
@@ -680,7 +695,7 @@ def flash_attention_qknorm(
     dtype = v.dtype
     t_pad = _pad_len(t, dtype)
 
-    if t_pad > _FUSED_BWD_MAX_T:
+    if t_pad > tuning.FUSED_BWD_MAX_T:
         s_bc = sqk_eff.reshape(1, h, 1, d)
         qh = (s_bc * (q.astype(jnp.float32) / jnp.maximum(
             jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), _NORM_EPS

@@ -42,12 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 from nvit_tpu.ops import tuning
 from nvit_tpu.ops.attention import _on_tpu
 
-# Forward tiles: rows innermost in the grid so each W column-tile is fetched
-# once and x streams; [512, 1024] fp32 gate intermediates keep VMEM ≈ 14 MB.
-_FWD_ROW, _FWD_COL = tuning.GATED_MLP_FWD_ROW, tuning.GATED_MLP_FWD_COL
-# Backward holds g + two outputs too — halve the row tile.
-# (all four are v5e-measured; NVIT_TUNE_GATED_MLP_* override for other chips)
-_BWD_ROW, _BWD_COL = tuning.GATED_MLP_BWD_ROW, tuning.GATED_MLP_BWD_COL
+# Tile caps come from ops/tuning.py, read at CALL time (module __getattr__
+# re-reads the NVIT_TUNE_GATED_MLP_* env — ADVICE r4): forward keeps rows
+# innermost in the grid so each W column-tile is fetched once and x streams;
+# [512, 1024] fp32 gate intermediates keep VMEM ~= 14 MB.  Backward holds
+# g + two outputs too — its row tile is half.
+def _FWD_ROW(): return tuning.GATED_MLP_FWD_ROW
+def _FWD_COL(): return tuning.GATED_MLP_FWD_COL
+def _BWD_ROW(): return tuning.GATED_MLP_BWD_ROW
+def _BWD_COL(): return tuning.GATED_MLP_BWD_COL
 
 
 def _pick(total: int, cap: int, step: int = 128) -> int | None:
@@ -145,13 +148,13 @@ def _call(kernel, x2, wu, wv, bias, extra, *, row_cap, col_cap, n_out, extra_tra
 
 
 def _fwd(x2: Array, wu: Array, wv: Array, bias=None) -> Array:
-    return _call(_fwd_kernel, x2, wu, wv, bias, (), row_cap=_FWD_ROW,
-                 col_cap=_FWD_COL, n_out=1, extra_traffic=1)
+    return _call(_fwd_kernel, x2, wu, wv, bias, (), row_cap=_FWD_ROW(),
+                 col_cap=_FWD_COL(), n_out=1, extra_traffic=1)
 
 
 def _bwd_duv(x2: Array, wu: Array, wv: Array, g: Array, bias=None) -> tuple[Array, Array]:
-    return _call(_bwd_kernel, x2, wu, wv, bias, (g,), row_cap=_BWD_ROW,
-                 col_cap=_BWD_COL, n_out=2, extra_traffic=3)
+    return _call(_bwd_kernel, x2, wu, wv, bias, (g,), row_cap=_BWD_ROW(),
+                 col_cap=_BWD_COL(), n_out=2, extra_traffic=3)
 
 
 # ------------------------------------------------------------------ wrapper
@@ -224,10 +227,10 @@ def _xla_gated(x: Array, w: Array, b: Array | None) -> Array:
 def _tileable(n: int, k: int, h: int) -> bool:
     return (
         k % 128 == 0
-        and _pick(h, _FWD_COL) is not None
-        and _pick(h, _BWD_COL) is not None
-        and _pick(n, _FWD_ROW, 16) is not None
-        and _pick(n, _BWD_ROW, 16) is not None
+        and _pick(h, _FWD_COL()) is not None
+        and _pick(h, _BWD_COL()) is not None
+        and _pick(n, _FWD_ROW(), 16) is not None
+        and _pick(n, _BWD_ROW(), 16) is not None
     )
 
 
@@ -311,7 +314,7 @@ def _gated_dispatch(x: Array, w: Array, b: Array | None, *, use_kernel: bool) ->
                     "gated_mlp: fused kernel requested but shape (n=%d, k=%d, h=%d) "
                     "does not tile (need k%%128==0, a ≤%d-col 128-multiple divisor "
                     "of h, and ≤%d-row 16-multiple divisors of n) — using the "
-                    "XLA fallback", n, k, h, _FWD_COL, _FWD_ROW,
+                    "XLA fallback", n, k, h, _FWD_COL(), _FWD_ROW(),
                 )
         return _xla_gated(x, w, b)
     x2 = x.reshape(n, k)

@@ -24,28 +24,44 @@ def _env_int(name: str, default: int) -> int:
     return int(raw) if raw else default
 
 
-# -- flash attention (ops/flash_attention.py) --------------------------------
-# Largest padded T the fused single-program backward handles: the whole
-# [T, T] fp32 score tile + operands must fit VMEM next to dq/dk/dv.
-# 1024 ⇒ ~4 MB score tile; measured fastest ≤1024 on v5e's 16 MB VMEM.
-FUSED_BWD_MAX_T = _env_int("NVIT_TUNE_FUSED_BWD_MAX_T", 1024)
+# Every constant is served through module __getattr__ (PEP 562) so the
+# NVIT_TUNE_* env is re-read on EVERY ``tuning.X`` access — an override set
+# after the first nvit_tpu import still takes effect for programs compiled
+# afterwards (ADVICE r4: the old module-level bindings froze some constants
+# at import while others read late, silently inconsistent).  Already-jitted
+# programs keep the tiles they were built with.
+_DEFAULTS = {
+    # -- flash attention (ops/flash_attention.py) ----------------------------
+    # Largest padded T the fused single-program backward handles: the whole
+    # [T, T] fp32 score tile + operands must fit VMEM next to dq/dk/dv.
+    # 1024 ⇒ ~4 MB score tile; measured fastest ≤1024 on v5e's 16 MB VMEM.
+    "FUSED_BWD_MAX_T": 1024,
+    # Q-tile row caps for the multi-tile paths: forward keeps ONE [BQ, T]
+    # fp32 buffer live (cap 1024); backward holds K/V + temporaries too.
+    "BLOCK_Q_CAP_FWD": 1024,
+    "BLOCK_Q_CAP_BWD": 512,
+    # -- fused gated MLP (ops/gated_mlp.py) ----------------------------------
+    # Forward tiles: [512, 1024] fp32 gate intermediates ≈ 14 MB VMEM on
+    # v5e.  Backward holds g + two outputs — half the rows.
+    "GATED_MLP_FWD_ROW": 512,
+    "GATED_MLP_FWD_COL": 1024,
+    "GATED_MLP_BWD_ROW": 256,
+    "GATED_MLP_BWD_COL": 1024,
+    # ``model.gated_mlp_kernel: auto`` uses the fused kernel iff n_embd ≤
+    # this.  Measured v5e crossover: d=768 +7% img/s, d=1024 −7% and
+    # +3.3 GB peak (the backward's in-VMEM uv recompute competes with the
+    # main matmuls once the MXU has no idle headroom; six alternative
+    # tilings all lost at d=1024 — scripts/gated_mlp_tile_bench.py).  A v5p
+    # sweep may move this boundary.
+    "GATED_MLP_AUTO_MAX_EMBD": 768,
+}
 
-# Q-tile row caps for the multi-tile paths: forward keeps ONE [BQ, T] fp32
-# buffer live (cap 1024); backward holds K/V + temporaries too (cap 512).
-BLOCK_Q_CAP_FWD = _env_int("NVIT_TUNE_BLOCK_Q_CAP_FWD", 1024)
-BLOCK_Q_CAP_BWD = _env_int("NVIT_TUNE_BLOCK_Q_CAP_BWD", 512)
 
-# -- fused gated MLP (ops/gated_mlp.py) --------------------------------------
-# Forward tiles: [512, 1024] fp32 gate intermediates ≈ 14 MB VMEM on v5e.
-# Backward holds g + two outputs — half the rows.
-GATED_MLP_FWD_ROW = _env_int("NVIT_TUNE_GATED_MLP_FWD_ROW", 512)
-GATED_MLP_FWD_COL = _env_int("NVIT_TUNE_GATED_MLP_FWD_COL", 1024)
-GATED_MLP_BWD_ROW = _env_int("NVIT_TUNE_GATED_MLP_BWD_ROW", 256)
-GATED_MLP_BWD_COL = _env_int("NVIT_TUNE_GATED_MLP_BWD_COL", 1024)
+def __getattr__(name: str) -> int:
+    if name in _DEFAULTS:
+        return _env_int(f"NVIT_TUNE_{name}", _DEFAULTS[name])
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
-# ``model.gated_mlp_kernel: auto`` uses the fused kernel iff n_embd ≤ this.
-# Measured v5e crossover: d=768 +7% img/s, d=1024 −7% and +3.3 GB peak (the
-# backward's in-VMEM uv recompute competes with the main matmuls once the
-# MXU has no idle headroom; six alternative tilings all lost at d=1024 —
-# scripts/gated_mlp_tile_bench.py).  A v5p sweep may move this boundary.
-GATED_MLP_AUTO_MAX_EMBD = _env_int("NVIT_TUNE_GATED_MLP_AUTO_MAX_EMBD", 768)
+
+def __dir__():
+    return sorted(list(globals()) + list(_DEFAULTS))

@@ -76,10 +76,14 @@ class Trainer:
             # (remote) TPU compile, and the time_limit_seconds relaunch
             # protocol re-pays it every launch without this (schema.py).
             try:
-                jax.config.update(
-                    "jax_compilation_cache_dir",
-                    str(Path(cfg.system.compilation_cache_dir).expanduser()),
-                )
+                cache = Path(cfg.system.compilation_cache_dir).expanduser()
+                if not cache.is_absolute():
+                    # anchor relative defaults (".jax_cache") to the repo
+                    # root, not the CWD — launching from elsewhere would
+                    # silently create a stray cache and re-pay the 4-8 min
+                    # remote compile the knob exists to avoid (ADVICE r4)
+                    cache = Path(__file__).resolve().parents[2] / cache
+                jax.config.update("jax_compilation_cache_dir", str(cache))
             except Exception as e:  # never let cache plumbing kill a run
                 self.logger.warning("compilation cache unavailable: %s", e)
 

@@ -1,6 +1,11 @@
-"""ops/tuning.py: v5e-measured kernel constants with NVIT_TUNE_* overrides."""
+"""ops/tuning.py: v5e-measured kernel constants with NVIT_TUNE_* overrides.
 
-import importlib
+Round-5 (ADVICE r4): constants are served through module __getattr__, so an
+env override set AFTER the first nvit_tpu import takes effect on the next
+``tuning.X`` access — no importlib.reload needed, and every consumer
+(flash-attention caps, gated-MLP tiles, auto-dispatch boundary) sees the
+same value at the same time.
+"""
 
 import nvit_tpu.ops.tuning as tuning
 
@@ -14,27 +19,35 @@ def test_defaults_are_v5e_measured():
     assert tuning.GATED_MLP_AUTO_MAX_EMBD == 768
 
 
-def test_env_overrides(monkeypatch):
+def test_env_overrides_apply_without_reload(monkeypatch):
     monkeypatch.setenv("NVIT_TUNE_FUSED_BWD_MAX_T", "2048")
     monkeypatch.setenv("NVIT_TUNE_GATED_MLP_AUTO_MAX_EMBD", "1024")
-    try:
-        importlib.reload(tuning)
-        assert tuning.FUSED_BWD_MAX_T == 2048
-        assert tuning.GATED_MLP_AUTO_MAX_EMBD == 1024
+    assert tuning.FUSED_BWD_MAX_T == 2048
+    assert tuning.GATED_MLP_AUTO_MAX_EMBD == 1024
 
-        # the auto dispatch boundary must honor the override: _use_mlp_kernel
-        # imports the constant at CALL time, so the reload above is the only
-        # thing making this pass (no setattr shortcuts — they'd make the
-        # assertion tautological)
-        from nvit_tpu.configs.schema import ViTConfig
-        from nvit_tpu.models import blocks
+    # the auto dispatch boundary honors the late override too
+    from nvit_tpu.configs.schema import ViTConfig
+    from nvit_tpu.models import blocks
 
-        cfg = ViTConfig(
-            n_embd=1024, n_head=16, flash_attn=True, gated_mlp_kernel="auto"
-        )
-        assert blocks._use_mlp_kernel(cfg) is True
-    finally:
-        monkeypatch.delenv("NVIT_TUNE_FUSED_BWD_MAX_T")
-        monkeypatch.delenv("NVIT_TUNE_GATED_MLP_AUTO_MAX_EMBD")
-        importlib.reload(tuning)
+    cfg = ViTConfig(n_embd=1024, n_head=16, flash_attn=True, gated_mlp_kernel="auto")
+    assert blocks._use_mlp_kernel(cfg) is True
+
+    monkeypatch.delenv("NVIT_TUNE_FUSED_BWD_MAX_T")
+    monkeypatch.delenv("NVIT_TUNE_GATED_MLP_AUTO_MAX_EMBD")
     assert tuning.FUSED_BWD_MAX_T == 1024
+    assert blocks._use_mlp_kernel(cfg) is False
+
+
+def test_pick_block_q_reads_cap_at_call_time(monkeypatch):
+    from nvit_tpu.ops.flash_attention import _pick_block_q
+
+    assert _pick_block_q(896) == 448  # default bwd cap 512
+    monkeypatch.setenv("NVIT_TUNE_BLOCK_Q_CAP_BWD", "1024")
+    assert _pick_block_q(896) == 896  # full-T now fits the raised cap
+
+
+def test_unknown_attribute_raises():
+    import pytest
+
+    with pytest.raises(AttributeError):
+        tuning.NOT_A_CONSTANT
