@@ -66,7 +66,10 @@ def _snapshot(
     leaves = _flatten(state)
     meta = {
         "iter_num": int(state.step),
-        "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+        # scalars only: array-valued metrics (gradhist/* bin counts) live in
+        # metrics.jsonl, not checkpoint meta
+        "metrics": {k: float(v) for k, v in (metrics or {}).items()
+                    if np.ndim(v) == 0},
         # host-side Trainer protocol state (best_val_loss, patience counter) so
         # relaunches continue the early-stop/best-checkpoint protocol instead of
         # resetting it (≙ reference best_val_loss in the ckpt dict, train.py:650)

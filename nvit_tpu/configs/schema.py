@@ -206,6 +206,10 @@ class SystemConfig:
     memory_threshold: float = 0.9
     log_memory: bool = True
     log_gpu_stats: bool = True  # name kept for settings parity; logs TPU device stats
+    # eval-cadence per-tensor gradient histograms (≙ wandb.watch(gradients),
+    # train.py:531-546; obs/grad_hist.py).  Off by default: it compiles a
+    # third train-step variant.
+    log_grad_histograms: bool = False
     clear_cache: bool = True
     quick_validation: bool = True
     quick_validation_size: int = 1000

@@ -79,7 +79,9 @@ class MetricsWriter:
     def log(self, metrics: dict[str, Any], step: int | None = None) -> None:
         clean = {}
         for k, v in metrics.items():
-            if hasattr(v, "item"):
+            if getattr(v, "ndim", 0) > 0:  # e.g. gradhist bin counts
+                v = np.asarray(v).tolist()
+            elif hasattr(v, "item"):
                 v = v.item()
             clean[k] = v
         if step is not None:
@@ -87,7 +89,24 @@ class MetricsWriter:
         self._fh.write(json.dumps(clean) + "\n")
         self._fh.flush()
         if self.wandb is not None:
-            self.wandb.log(metrics, step=step)
+            out = dict(metrics)
+            for k, v in metrics.items():
+                # gradhist/* values are bin-count lists over the static
+                # log2-magnitude edges (obs/grad_hist.py) — render them as
+                # real wandb histograms (≙ wandb.watch, train.py:531-546)
+                if k.startswith("gradhist/"):
+                    try:
+                        from nvit_tpu.obs.grad_hist import histogram_edges
+
+                        edges = histogram_edges()
+                        # wandb needs finite edges; clamp the open ends
+                        edges = np.concatenate([[0.0], edges[1:-1], [edges[-2] * 2]])
+                        out[k] = self.wandb.Histogram(
+                            np_histogram=(np.asarray(v, dtype=np.int64), edges)
+                        )
+                    except Exception:
+                        pass  # leave the raw list; never break the sink
+            self.wandb.log(out, step=step)
 
     def finish(self) -> None:
         self._fh.close()

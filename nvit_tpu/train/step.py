@@ -64,7 +64,7 @@ def make_loss_fn(cfg: Config):
 
 
 def make_train_step(
-    cfg: Config, log_norms: bool | None = None, mesh=None
+    cfg: Config, log_norms: bool | None = None, mesh=None, log_histograms: bool = False
 ) -> Callable[[TrainState, Array, Array], tuple[TrainState, Metrics]]:
     """Build the (jittable) train step: (state, images, labels) → (state', metrics).
 
@@ -83,6 +83,12 @@ def make_train_step(
     multi-device.  Pallas kernels cannot be partitioned by GSPMD; the mesh
     is made ambient during tracing so the op dispatchers shard_map them
     (parallel/spmd.py).  Plain XLA ops ignore it.
+
+    ``log_histograms`` additionally emits per-tensor downsampled gradient
+    histograms (``gradhist/<path>`` int32[64] — obs/grad_hist.py; ≙
+    wandb.watch(gradients), train.py:531-546).  The Trainer compiles this
+    variant only when ``system.log_grad_histograms`` is on and runs it only
+    on eval-cadence iterations, so the hot step never pays for it.
     """
     mcfg = cfg.model
     accum = max(1, cfg.training.gradient_accumulation_steps)
@@ -153,6 +159,10 @@ def make_train_step(
 
         metrics: Metrics = dict(terms)
         metrics["learning_rate"] = cosine_lr(cfg.optimizer, state.step)
+        if log_histograms:
+            from nvit_tpu.obs.grad_hist import tree_grad_histograms
+
+            metrics.update(tree_grad_histograms(grads))
         if want_norms:
             metrics["grad_norm"] = global_norm(grads)
             metrics["param_norm"] = global_norm(params)

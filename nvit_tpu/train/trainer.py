@@ -251,6 +251,14 @@ class Trainer:
             if cfg.system.log_gpu_stats
             else step_plain
         )
+        # third variant, eval-cadence only: + per-tensor grad histograms
+        # (≙ wandb.watch(gradients), train.py:531-546; obs/grad_hist.py)
+        step_hist = (
+            make_train_step(cfg, log_norms=cfg.system.log_gpu_stats, mesh=self.mesh,
+                            log_histograms=True)
+            if cfg.system.log_grad_histograms
+            else None
+        )
         self._eval_step = make_eval_step(cfg, mesh=self.mesh)
         if cfg.system.jit:
             jit_plain = jax.jit(step_plain, donate_argnums=0)
@@ -258,9 +266,14 @@ class Trainer:
                 jax.jit(step_norms, donate_argnums=0) if step_norms is not step_plain else jit_plain
             )
             self._train_step, self._train_step_norms = jit_plain, jit_norms
+            self._train_step_hist = (
+                jax.jit(step_hist, donate_argnums=0) if step_hist is not None else None
+            )
             self._eval_step = jax.jit(self._eval_step)
         else:
             self._train_step, self._train_step_norms = step_plain, step_norms
+            self._train_step_hist = step_hist
+        self._pending_grad_hists: dict | None = None
 
         self.metrics_writer: MetricsWriter | None = None
         self._pending_saves: list = []
@@ -548,6 +561,17 @@ class Trainer:
                         if (self.iter_num + 1) % cfg.training.log_interval == 0
                         else self._train_step
                     )
+                    # histogram variant on the step feeding an eval (the
+                    # evaluate() at the top of the next loop iteration
+                    # fetches and logs the stash — one transfer, ~40 KB).
+                    # The step reaching max_iters exits the loop before that
+                    # eval, so its stash would be dropped — skip the variant.
+                    if (
+                        self._train_step_hist is not None
+                        and (self.iter_num + 1) % cfg.training.eval_interval == 0
+                        and (self.iter_num + 1) < cfg.training.max_iters
+                    ):
+                        step_fn = self._train_step_hist
                     # the step DONATES self.state: a signal handler firing
                     # while the call is on the stack would try to checkpoint
                     # donated (deleted) buffers, so the handler defers to this
@@ -556,6 +580,10 @@ class Trainer:
                     self.state, step_metrics = step_fn(self.state, images, labels)
                     self._in_step = False
                     self.iter_num += 1
+                    if step_fn is self._train_step_hist and step_fn is not None:
+                        self._pending_grad_hists = {
+                            k: v for k, v in step_metrics.items() if k.startswith("gradhist/")
+                        }
                     local_iter += 1
                     if self._deferred_signal is not None:
                         self.logger.info(
@@ -730,6 +758,13 @@ class Trainer:
             "training/global_step": self.iter_num,
             **self._sqk_drift_metrics(),
         }
+        if self._pending_grad_hists:
+            # stashed by the eval-cadence histogram step variant; ONE host
+            # fetch of ~40 KB of int32 counts (≙ wandb.watch cadence without
+            # per-step transfers — PARITY.md #22 closed)
+            fetched = jax.device_get(self._pending_grad_hists)
+            metrics.update({k: np.asarray(v).tolist() for k, v in fetched.items()})
+            self._pending_grad_hists = None
         self.last_metrics = dict(metrics)
         if self.metrics_writer is not None:
             self.metrics_writer.log(metrics, step=self.iter_num)
