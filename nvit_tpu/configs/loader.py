@@ -172,6 +172,7 @@ def load_config(
     if changes:
         cfg = dataclasses.replace(cfg, **changes)
     cfg.model.validate()
+    cfg.optimizer.validate()
     return cfg
 
 

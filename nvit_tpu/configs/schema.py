@@ -33,12 +33,18 @@ class ViTConfig:
     base_scale: float = 1.0 / math.sqrt(1024.0)
     use_nvit: bool = False
     flash_attn: bool = False  # on TPU this selects the Pallas fused-attention path
-    # softmax stabilizer of the fused QK-norm kernel: "bounded" compiles only
-    # the bounded-softmax variant (scores provably ≤ scale·max(sqk²); the
-    # per-step renorm keeps the bound ≪ the safety gate), "rowmax" only the
-    # classic row-max variant, "auto" adds a runtime cond (costs ~1.5 GB of
-    # double-buffered peak HBM at flagship scale; both arms run under vmap)
-    bounded_softmax: str = "bounded"
+    # softmax stabilizer of the fused QK-norm kernel: "rowmax" (default) is
+    # the classic exact per-row-max variant; "bounded" compiles only the
+    # bounded-softmax variant (scores provably ≤ scale·max(sqk²) — but the
+    # learned sqk can DRIFT: the round-4 20k soak drifted sqk_eff to 24,
+    # blowing the bound to ~4200 and silently degrading every attention row
+    # to uniform — BASELINE.md round-5 reconciliation.  Opt-in only, WITH the
+    # scales/attn_bound drift watch); "auto" adds a runtime cond that routes
+    # drifted programs to rowmax (costs ~1.5 GB of double-buffered peak HBM
+    # at flagship scale; both arms run under vmap).  rowmax measured at
+    # 142.19 img/s vs bounded 142.5±0.5 on v5e — the bounded fast path buys
+    # nothing at HEAD, so the exact variant is the default.
+    bounded_softmax: str = "rowmax"
     # fused gated-MLP kernel dispatch: "on" | "off" | "auto".  The kernel's
     # backward RECOMPUTES the uv tile in VMEM instead of round-tripping it
     # through HBM — a win while the MXU has idle headroom, a loss once the
@@ -174,7 +180,19 @@ class OptimizerConfig:
     beta1: float = 0.9
     beta2: float = 0.95
     grad_clip: float = 1.0
+    # AdamW moment storage dtype.  "bfloat16" halves the optimizer state's
+    # HBM traffic (−0.96 GB/step at nViT-B/16) and resident size using
+    # STOCHASTIC-ROUNDING stores (unbiased; compute stays fp32) — the
+    # round-5 pre-registered traffic experiment, BASELINE.md.  Default
+    # float32 ≙ reference torch.optim.AdamW state.
+    moments_dtype: str = "float32"
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+
+    def validate(self) -> None:
+        if self.moments_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"moments_dtype must be 'float32' or 'bfloat16', got {self.moments_dtype!r}"
+            )
 
 
 @dataclass(frozen=True)

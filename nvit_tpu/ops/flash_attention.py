@@ -464,13 +464,17 @@ _BOUND_GATE = 20.0
 # VJP kernels still compute ds = p·(dp − Δ) with p = 1/T as if the softmax
 # were live, emitting finite-but-nonzero cotangents for q/k/sqk there.  This
 # is deliberate: the regime requires max-score < bound − 60, i.e. a
-# pathologically mis-scaled row that the jax-level runtime fallback cond
-# (bound > rowmax headroom) already routes to the exact row-max kernel, and
-# zeroing ds would cost an extra [Tq, Tk] compare+select per tile in the hot
-# backward for a state no healthy run enters.  The approximate gradient
-# still points TOWARD reviving the row (it shrinks the bound via dsqk), so
-# optimization recovers rather than sticking.  tests/test_flash_attention
-# asserts finiteness, not exactness, in this regime — by design.
+# pathologically mis-scaled row.  In "auto" mode the jax-level fallback cond
+# (bound > _BOUND_GATE) routes such programs to the exact row-max kernel
+# long before the clamp can fire; zeroing ds would cost an extra [Tq, Tk]
+# compare+select per tile in the hot backward.  Static "bounded" mode CAN
+# reach this regime under runaway sqk drift — the round-4 20k soak did
+# (sqk_eff → 24, attention uniform, capability collapse; BASELINE.md r5),
+# which is why "rowmax" is the config default since round 5 and "bounded"
+# is opt-in with the trainer's drift watch.  The approximate gradient
+# still points TOWARD reviving the row (it shrinks the bound via dsqk).
+# tests/test_flash_attention asserts finiteness, not exactness, here — by
+# design.
 _BOUNDED_EXP_FLOOR = -60.0
 
 
@@ -478,18 +482,22 @@ def _fwd_qknorm(q3, k3, v3, s3, scale: float, t_actual: int, mode: str = "auto")
     """``mode`` selects the softmax-stabilizer strategy (static — part of the
     custom-VJP nondiff static tuple):
 
-    * ``"bounded"`` (config default) — compile ONLY the bounded-softmax kernel.
+    * ``"rowmax"`` (config default since round 5) — compile only the classic
+      per-row-max kernel: exact at ANY learned-sqk drift, one extra VPU
+      reduce pass over the score tile (measured NEUTRAL on v5e: 142.19 vs
+      bounded's 142.5±0.5 img/s — BASELINE.md round 5).
+    * ``"bounded"`` (opt-in) — compile ONLY the bounded-softmax kernel.
       NaN-proof at any learned-sqk drift via the _BOUNDED_EXP_FLOOR clamp
       (round 4: sqk has a 32×-amplified effective LR and measured drift past
       2.3 on the Kohonen flagship — the earlier "sqk_eff stays ≈ 1" premise
       was wrong; a pre-clamp run NaN'd at bound ≈ 44, BASELINE.md round 4).
       Numerics are exact vs rowmax wherever the clamp is inert (all rows with
       max score > bound − 60); a fully-clamped row degrades to uniform
-      attention instead of 0/0.  Reclaims the ~1.5 GB of planned peak HBM the
-      runtime cond cost (XLA double-buffers the cond arms' operands; VERDICT
-      r2 weak #5).
-    * ``"rowmax"`` — compile only the classic per-row-max kernel (always safe,
-      one extra VPU reduce pass over the score tile).
+      attention instead of 0/0 — which is a SILENT capability collapse when
+      drift runs away (the 20k soak: sqk_eff → 24, class loss back to
+      chance; BASELINE.md round-5 reconciliation — hence no longer the
+      default).  Reclaims the ~1.5 GB of planned peak HBM the runtime cond
+      cost (XLA double-buffers the cond arms' operands; VERDICT r2 weak #5).
     * ``"auto"`` — runtime jax-level cond between the two compiled variants.
       CAVEATS: the cond double-buffers q/k/v/s operands (≈ +1.5 GB planned
       peak at the flagship shape), and under vmap (e.g. per-example grads)

@@ -390,12 +390,19 @@ class Trainer:
             jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
         ) * (SQK_INIT_VALUE / m.base_scale)
         bound = float(np.sqrt(m.n_embd // m.n_head)) * eff_max * eff_max
-        if bound > 40.0 and not getattr(self, "_sqk_drift_warned", False):
+        # only the static "bounded" stabilizer degrades under drift —
+        # "rowmax" (the round-5 default) is exact at any drift and "auto"
+        # self-routes to rowmax past the gate (BASELINE.md r5 reconciliation)
+        if (
+            bound > 40.0
+            and m.bounded_softmax == "bounded"
+            and not getattr(self, "_sqk_drift_warned", False)
+        ):
             self._sqk_drift_warned = True
             self.logger.warning(
                 "sqk_eff drifted to %.2f (bounded-softmax shift %.1f): rows "
                 "whose max score trails it by >60 degrade to uniform "
-                "attention; consider model.bounded_softmax=rowmax", eff_max, bound,
+                "attention; switch model.bounded_softmax=rowmax", eff_max, bound,
             )
         return {"scales/sqk_eff_max": eff_max, "scales/attn_bound": bound}
 
