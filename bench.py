@@ -135,6 +135,12 @@ def main() -> None:
     cfg = flagship_config(**overrides)
     # norms per hot step are eval-time metrics; keep the bench step lean
     cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, log_gpu_stats=False))
+    moments = os.environ.get("NVIT_BENCH_MOMENTS")  # float32 | bfloat16 (SR)
+    if moments:
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(cfg.optimizer, moments_dtype=moments)
+        )
+        cfg.optimizer.validate()
     remat_env = os.environ.get("NVIT_BENCH_REMAT", "1")
     if remat_env == "0":
         cfg = dataclasses.replace(cfg, system=dataclasses.replace(cfg.system, remat=False))

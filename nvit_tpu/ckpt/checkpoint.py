@@ -154,6 +154,12 @@ def load_checkpoint(out_dir: str | Path, name: str, template: TrainState) -> tup
                 f"checkpoint leaves mismatch template at index {i}: {a.shape} vs {t.shape} — "
                 f"config mismatch? (checkpoint config: {meta['config']['model']})"
             )
+    # npz round-trips ml_dtypes (bf16 moments) as raw void records — view
+    # them back through the template dtype before the cast
+    leaves = [
+        a.view(t.dtype) if a.dtype.kind == "V" and a.dtype.itemsize == t.dtype.itemsize else a
+        for a, t in zip(leaves, t_leaves)
+    ]
     typed = [np.asarray(a, dtype=t.dtype) for a, t in zip(leaves, t_leaves)]
     state = jax.tree_util.tree_unflatten(treedef, typed)
     return state, meta

@@ -18,6 +18,7 @@ fuses the elementwise update chain across the whole parameter tree.
 
 from __future__ import annotations
 
+import zlib
 from typing import Any, NamedTuple
 
 import jax
@@ -73,9 +74,31 @@ class FusedAdamWState(NamedTuple):
     nu: Any
 
 
-def init_fused_adamw(params: Any) -> FusedAdamWState:
-    zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)  # noqa: E731
+def init_fused_adamw(params: Any, moments_dtype: str = "float32") -> FusedAdamWState:
+    """Zero moments.  ``moments_dtype="bfloat16"`` stores mu/nu in bf16 (the
+    round-5 pre-registered traffic experiment, BASELINE.md): −0.96 GB/step of
+    optimizer-state HBM traffic at nViT-B/16.  The update then computes in
+    fp32 and stores back with STOCHASTIC ROUNDING (unbiased — plain-bf16
+    accumulation was rejected on numerics in round 3; SR has no systematic
+    drift)."""
+    dt = jnp.bfloat16 if moments_dtype == "bfloat16" else None
+    zeros = lambda: jax.tree_util.tree_map(  # noqa: E731
+        lambda p: jnp.zeros(p.shape, dt or p.dtype), params
+    )
     return FusedAdamWState(count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros())
+
+
+def sr_bf16(x32: Array, key: Array) -> Array:
+    """Stochastically round an fp32 array to bf16: add 16 uniform random bits
+    below the bf16 mantissa boundary, then truncate.  E[sr(x)] = x exactly
+    (round-up probability = fraction/ulp); carries into the exponent ARE the
+    round-up path.  Non-finite values pass through a plain cast (a uint carry
+    past the exponent field would otherwise corrupt them)."""
+    xi = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    r = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    yi = (xi + r) & jnp.uint32(0xFFFF0000)
+    y = jax.lax.bitcast_convert_type(yi, jnp.float32).astype(jnp.bfloat16)
+    return jnp.where(jnp.isfinite(x32), y, x32.astype(jnp.bfloat16))
 
 
 def _renorm_axis_of(path) -> int | None:
@@ -118,21 +141,37 @@ def fused_adamw_renorm_update(
     bc1 = 1.0 - jnp.power(jnp.float32(b1), t)
     bc2 = 1.0 - jnp.power(jnp.float32(b2), t)
 
+    # bf16 moments (see init_fused_adamw): one SR key per step, folded per
+    # leaf — deterministic in state.count, so resume replays the identical
+    # rounding sequence and DP replicas agree bit-for-bit.
+    bf16_moments = any(
+        m.dtype == jnp.bfloat16 for m in jax.tree_util.tree_leaves(state.mu)
+    )
+    sr_base = jax.random.fold_in(jax.random.PRNGKey(0x51AB), state.count) if bf16_moments else None
+
     def leaf(path, p, g, m, v):
         if gscale is not None:
             g = g * gscale.astype(g.dtype)
+        store = lambda x, salt: x  # noqa: E731
+        if m.dtype == jnp.bfloat16:
+            # per-leaf salt from the (static) tree path — stable across
+            # traces, resumes and shardings
+            pid = zlib.crc32(jax.tree_util.keystr(path).encode()) & 0x3FFFFFFF
+            store = lambda x, salt: sr_bf16(x, jax.random.fold_in(sr_base, 2 * pid + salt))  # noqa: E731
+            m, v = m.astype(jnp.float32), v.astype(jnp.float32)
+            g = g.astype(jnp.float32)
         m = b1 * m + (1.0 - b1) * g
         v = b2 * v + (1.0 - b2) * jnp.square(g)
         upd = (m / bc1) / (jnp.sqrt(v / bc2) + _ADAM_EPS)
         if p.ndim >= 2:  # decay mask (≙ configure_optimizers groups)
-            upd = upd + wd * p
-        new_p = p - lr.astype(p.dtype) * upd
+            upd = upd + wd * p.astype(upd.dtype)
+        new_p = p - lr.astype(p.dtype) * upd.astype(p.dtype)
         axis = _renorm_axis_of(path) if renorm else None
         if axis is not None:
             p32 = new_p.astype(jnp.float32)
             norm = jnp.sqrt(jnp.sum(p32 * p32, axis=axis, keepdims=True))
             new_p = (p32 / norm).astype(new_p.dtype)
-        return new_p, m, v
+        return new_p, store(m, 0), store(v, 1)
 
     fused = jax.tree_util.tree_map_with_path(leaf, params, grads, state.mu, state.nu)
     is_triple = lambda x: isinstance(x, tuple) and len(x) == 3 and not isinstance(x[0], tuple)  # noqa: E731

@@ -32,7 +32,7 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
     key = jax.random.PRNGKey(seed)
     pkey, rng = jax.random.split(key)
     params = init_vit(pkey, cfg.model)
-    opt_state = init_fused_adamw(params)
+    opt_state = init_fused_adamw(params, cfg.optimizer.moments_dtype)
     return TrainState(
         params=params,
         opt_state=opt_state,

@@ -165,7 +165,7 @@ def test_every_schema_field_is_env_overridable(tmp_path, monkeypatch):
                 continue  # +1 breaks validate() divisibility; covered by other tests
             if f.name in ("dataset", "dtype", "init_from", "checkpoint_backend",
                           "bounded_softmax", "gated_mlp_kernel", "wandb_mode",
-                          "kohonen_hebbian"):
+                          "kohonen_hebbian", "moments_dtype"):
                 continue  # enum-validated strings; covered by dedicated tests
             env = {f"NVIT_{section.name.upper()}__{f.name.upper()}": raw}
             got = getattr(getattr(loader.load_config("settings.yaml", env=env), section.name), f.name)
@@ -193,3 +193,20 @@ def test_kohonen_hebbian_enum_and_env_override():
     assert cfg.model.kohonen_hebbian == "off"
     with pytest.raises(ValueError, match="kohonen_hebbian"):
         ViTConfig(kohonen_hebbian="bogus").validate()
+
+
+def test_moments_dtype_enum_and_env_override():
+    """optimizer.moments_dtype: env-overridable enum (default float32 ≙
+    reference AdamW state; bfloat16 = the round-5 SR experiment)."""
+    import pytest
+
+    from nvit_tpu.configs import loader
+    from nvit_tpu.configs.schema import OptimizerConfig
+
+    assert loader.load_config(env={}).optimizer.moments_dtype == "float32"
+    cfg = loader.load_config(env={"NVIT_OPTIMIZER__MOMENTS_DTYPE": "bfloat16"})
+    assert cfg.optimizer.moments_dtype == "bfloat16"
+    with pytest.raises(ValueError, match="moments_dtype"):
+        loader.load_config(env={"NVIT_OPTIMIZER__MOMENTS_DTYPE": "fp8"})
+    with pytest.raises(ValueError, match="moments_dtype"):
+        OptimizerConfig(moments_dtype="int8").validate()

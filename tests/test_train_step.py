@@ -294,3 +294,103 @@ def test_per_group_grad_norms_logged():
     assert "blocks.0_grad_norm" in metrics and "blocks.1_grad_norm" in metrics
     assert "cross_attention_grad_norm" in metrics and "head_grad_norm" in metrics
     assert float(metrics["grad_norm"]) >= 0.0
+
+
+class TestBf16MomentsSR:
+    """bf16 AdamW moments with stochastic-rounding stores (the round-5
+    pre-registered traffic experiment — BASELINE.md; optimizer.moments_dtype)."""
+
+    def test_sr_bf16_unbiased_and_neighbor_valued(self):
+        from nvit_tpu.train.optim import sr_bf16
+
+        # bf16 has a 7-bit mantissa: at 1.0 the ulp is 2^-7, so 1 + 2^-8 sits
+        # exactly between the neighbors 1.0 and 1 + 2^-7
+        x = jnp.full((65536,), 1.0 + 2.0**-8, jnp.float32)
+        out = np.asarray(sr_bf16(x, jax.random.PRNGKey(0)), dtype=np.float32)
+        assert set(np.unique(out)) <= {1.0, 1.0 + 2.0**-7}, np.unique(out)
+        # unbiased: the midpoint rounds up half the time → mean ≈ x
+        assert abs(out.mean() - float(x[0])) < 2.0**-7 * 0.02
+
+    def test_sr_bf16_exact_values_pass_through(self):
+        from nvit_tpu.train.optim import sr_bf16
+
+        x = jnp.asarray([0.0, 1.0, -2.5, 2.0**-20], jnp.float32)  # all bf16-exact
+        out = np.asarray(sr_bf16(x, jax.random.PRNGKey(3)), dtype=np.float32)
+        np.testing.assert_array_equal(out, np.asarray(x))
+
+    def test_sr_bf16_nonfinite_passthrough(self):
+        from nvit_tpu.train.optim import sr_bf16
+
+        x = jnp.asarray([jnp.inf, -jnp.inf, jnp.nan], jnp.float32)
+        out = np.asarray(sr_bf16(x, jax.random.PRNGKey(1)), dtype=np.float32)
+        assert np.isposinf(out[0]) and np.isneginf(out[1]) and np.isnan(out[2])
+
+    def test_bf16_moments_track_fp32_trajectory(self):
+        import dataclasses as dc
+
+        from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
+
+        cfg, state, grads = TestFusedAdamWRenorm._setup(seed=4)
+        p32, f32 = state.params, init_fused_adamw(state.params, "float32")
+        p16, f16 = state.params, init_fused_adamw(state.params, "bfloat16")
+        for m in jax.tree_util.tree_leaves(f16.mu):
+            assert m.dtype == jnp.bfloat16
+        step = jax.jit(
+            lambda p, f: fused_adamw_renorm_update(cfg.optimizer, p, grads, f, renorm=True)
+        )
+        for _ in range(5):
+            p32, f32 = step(p32, f32)
+            p16, f16 = step(p16, f16)
+        # moment dtype persists through the jitted update
+        for m in jax.tree_util.tree_leaves(f16.mu) + jax.tree_util.tree_leaves(f16.nu):
+            assert m.dtype == jnp.bfloat16
+        # parameters stay close to the fp32-moments trajectory (SR noise only)
+        for (pa, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(p16), jax.tree_util.tree_leaves(p32)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3,
+                err_msg=f"bf16-moments trajectory diverged at {jax.tree_util.keystr(pa)}",
+            )
+
+    def test_sr_is_deterministic_in_count(self):
+        from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
+
+        cfg, state, grads = TestFusedAdamWRenorm._setup(seed=5)
+        outs = []
+        for _ in range(2):
+            p, f = state.params, init_fused_adamw(state.params, "bfloat16")
+            p, f = fused_adamw_renorm_update(cfg.optimizer, p, grads, f, renorm=False)
+            outs.append(f)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0]), jax.tree_util.tree_leaves(outs[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_checkpoint_roundtrip_bf16_moments(self, tmp_path):
+        import dataclasses as dc
+
+        from nvit_tpu.ckpt.checkpoint import restore_for_resume, save_checkpoint
+        from nvit_tpu.train.state import create_train_state
+
+        cfg, state, grads = TestFusedAdamWRenorm._setup(seed=6)
+        cfg = dc.replace(cfg, optimizer=dc.replace(cfg.optimizer, moments_dtype="bfloat16"))
+        state = create_train_state(cfg, seed=6)
+        from nvit_tpu.train.optim import fused_adamw_renorm_update
+
+        params, opt = fused_adamw_renorm_update(
+            cfg.optimizer, state.params, grads, state.opt_state, renorm=True
+        )
+        state = state._replace(params=params, opt_state=opt, step=state.step + 1)
+        save_checkpoint(tmp_path, "checkpoint_latest", state, cfg, metrics={"loss": 1.0})
+        restored, rcfg, _ = restore_for_resume(tmp_path, "checkpoint_latest")
+        assert rcfg.optimizer.moments_dtype == "bfloat16"
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+        ):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bad_moments_dtype_rejected(self):
+        from nvit_tpu.configs.schema import OptimizerConfig
+
+        with pytest.raises(ValueError, match="moments_dtype"):
+            OptimizerConfig(moments_dtype="fp8").validate()
