@@ -186,12 +186,21 @@ class OptimizerConfig:
     # round-5 pre-registered traffic experiment, BASELINE.md.  Default
     # float32 ≙ reference torch.optim.AdamW state.
     moments_dtype: str = "float32"
+    # SR dither bit source when moments_dtype=bfloat16: "threefry"
+    # (jax.random.bits) or "hash" (fmix32 counter hash — ~8× fewer VPU ops,
+    # same determinism/unbiasedness guarantees; pre-registered experiment #2,
+    # BASELINE.md round 5).  Ignored for float32 moments.
+    sr_dither: str = "threefry"
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 
     def validate(self) -> None:
         if self.moments_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"moments_dtype must be 'float32' or 'bfloat16', got {self.moments_dtype!r}"
+            )
+        if self.sr_dither not in ("threefry", "hash"):
+            raise ValueError(
+                f"sr_dither must be 'threefry' or 'hash', got {self.sr_dither!r}"
             )
 
 

@@ -88,17 +88,49 @@ def init_fused_adamw(params: Any, moments_dtype: str = "float32") -> FusedAdamWS
     return FusedAdamWState(count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros())
 
 
-def sr_bf16(x32: Array, key: Array) -> Array:
-    """Stochastically round an fp32 array to bf16: add 16 uniform random bits
-    below the bf16 mantissa boundary, then truncate.  E[sr(x)] = x exactly
-    (round-up probability = fraction/ulp); carries into the exponent ARE the
-    round-up path.  Non-finite values pass through a plain cast (a uint carry
-    past the exponent field would otherwise corrupt them)."""
+def _sr_with_bits(x32: Array, r: Array) -> Array:
+    """Stochastically round fp32→bf16 given 16 uniform dither bits per element:
+    add the bits below the bf16 mantissa boundary, then truncate.  E[sr(x)] = x
+    exactly (round-up probability = fraction/ulp); carries into the exponent
+    ARE the round-up path.  Non-finite values pass through a plain cast (a
+    uint carry past the exponent field would otherwise corrupt them)."""
     xi = jax.lax.bitcast_convert_type(x32, jnp.uint32)
-    r = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
-    yi = (xi + r) & jnp.uint32(0xFFFF0000)
+    yi = (xi + (r & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
     y = jax.lax.bitcast_convert_type(yi, jnp.float32).astype(jnp.bfloat16)
     return jnp.where(jnp.isfinite(x32), y, x32.astype(jnp.bfloat16))
+
+
+def sr_bf16(x32: Array, key: Array) -> Array:
+    """SR store with threefry dither bits (``optimizer.sr_dither=threefry``)."""
+    return _sr_with_bits(x32, jax.random.bits(key, x32.shape, jnp.uint32))
+
+
+def _fmix32(x: Array) -> Array:
+    """murmur3's 32-bit finalizer (full avalanche): the per-element hash behind
+    ``sr_dither=hash``.  uint32 in, uint32 out; multiplies wrap mod 2^32."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def sr_bf16_hash(x32: Array, seed: Array) -> Array:
+    """SR store with counter-hash dither (``optimizer.sr_dither=hash``, the
+    round-5 pre-registered experiment #2 — BASELINE.md): dither bits are
+    fmix32(global_element_index · φ32 ^ seed), ~13 u32 VPU ops/element vs
+    threefry's ~100.  ``seed`` is a scalar uint32 already mixing (step count,
+    leaf path, mu-vs-nu salt), so the bits stay deterministic in (step, path)
+    — identical replay on resume, bit-identical DP replicas — and independent
+    of the value being rounded (unbiasedness; bias analysis in BASELINE.md).
+    Under GSPMD sharding ``broadcasted_iota`` keeps GLOBAL index semantics, so
+    sharded and unsharded stores round identically."""
+    idx = jnp.zeros(x32.shape, jnp.uint32)
+    stride = 1
+    for d in reversed(range(x32.ndim)):
+        idx = idx + jax.lax.broadcasted_iota(jnp.uint32, x32.shape, d) * jnp.uint32(stride)
+        stride *= x32.shape[d]
+    return _sr_with_bits(x32, _fmix32(idx * jnp.uint32(0x9E3779B9) ^ seed))
 
 
 def _renorm_axis_of(path) -> int | None:
@@ -141,13 +173,19 @@ def fused_adamw_renorm_update(
     bc1 = 1.0 - jnp.power(jnp.float32(b1), t)
     bc2 = 1.0 - jnp.power(jnp.float32(b2), t)
 
-    # bf16 moments (see init_fused_adamw): one SR key per step, folded per
-    # leaf — deterministic in state.count, so resume replays the identical
-    # rounding sequence and DP replicas agree bit-for-bit.
+    # bf16 moments (see init_fused_adamw): dither deterministic in
+    # (state.count, leaf path, mu/nu), so resume replays the identical
+    # rounding sequence and DP replicas agree bit-for-bit.  Two bit sources
+    # (optimizer.sr_dither): "threefry" = jax.random.bits with one key per
+    # step folded per leaf; "hash" = fmix32 counter hash (pre-registered
+    # experiment #2, BASELINE.md) — same guarantees, ~8× fewer VPU ops.
     bf16_moments = any(
         m.dtype == jnp.bfloat16 for m in jax.tree_util.tree_leaves(state.mu)
     )
-    sr_base = jax.random.fold_in(jax.random.PRNGKey(0x51AB), state.count) if bf16_moments else None
+    sr_base = None
+    if bf16_moments and opt_cfg.sr_dither == "threefry":
+        sr_base = jax.random.fold_in(jax.random.PRNGKey(0x51AB), state.count)
+    count_u32 = state.count.astype(jnp.uint32) if bf16_moments else None
 
     def leaf(path, p, g, m, v):
         if gscale is not None:
@@ -157,7 +195,13 @@ def fused_adamw_renorm_update(
             # per-leaf salt from the (static) tree path — stable across
             # traces, resumes and shardings
             pid = zlib.crc32(jax.tree_util.keystr(path).encode()) & 0x3FFFFFFF
-            store = lambda x, salt: sr_bf16(x, jax.random.fold_in(sr_base, 2 * pid + salt))  # noqa: E731
+            if opt_cfg.sr_dither == "hash":
+                seed = lambda salt: _fmix32(  # noqa: E731
+                    count_u32 ^ (jnp.uint32(2 * pid + salt) * jnp.uint32(0x9E3779B9))
+                )
+                store = lambda x, salt: sr_bf16_hash(x, seed(salt))  # noqa: E731
+            else:
+                store = lambda x, salt: sr_bf16(x, jax.random.fold_in(sr_base, 2 * pid + salt))  # noqa: E731
             m, v = m.astype(jnp.float32), v.astype(jnp.float32)
             g = g.astype(jnp.float32)
         m = b1 * m + (1.0 - b1) * g

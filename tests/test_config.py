@@ -165,7 +165,7 @@ def test_every_schema_field_is_env_overridable(tmp_path, monkeypatch):
                 continue  # +1 breaks validate() divisibility; covered by other tests
             if f.name in ("dataset", "dtype", "init_from", "checkpoint_backend",
                           "bounded_softmax", "gated_mlp_kernel", "wandb_mode",
-                          "kohonen_hebbian", "moments_dtype"):
+                          "kohonen_hebbian", "moments_dtype", "sr_dither"):
                 continue  # enum-validated strings; covered by dedicated tests
             env = {f"NVIT_{section.name.upper()}__{f.name.upper()}": raw}
             got = getattr(getattr(loader.load_config("settings.yaml", env=env), section.name), f.name)

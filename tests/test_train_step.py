@@ -394,3 +394,92 @@ class TestBf16MomentsSR:
 
         with pytest.raises(ValueError, match="moments_dtype"):
             OptimizerConfig(moments_dtype="fp8").validate()
+
+
+class TestHashDither:
+    """sr_dither=hash: counter-hash SR bits (pre-registered experiment #2,
+    BASELINE.md round 5) — same unbiasedness/determinism guarantees as
+    threefry, ~8× fewer VPU ops per element."""
+
+    def test_hash_sr_unbiased_and_neighbor_valued(self):
+        from nvit_tpu.train.optim import sr_bf16_hash
+
+        # midpoint between bf16 neighbors 1.0 and 1+2^-7 must round up half
+        # the time — the unbiasedness criterion, same as the threefry test
+        x = jnp.full((65536,), 1.0 + 2.0**-8, jnp.float32)
+        out = np.asarray(sr_bf16_hash(x, jnp.uint32(12345)), dtype=np.float32)
+        assert set(np.unique(out)) <= {1.0, 1.0 + 2.0**-7}, np.unique(out)
+        assert abs(out.mean() - float(x[0])) < 2.0**-7 * 0.02
+
+    def test_hash_sr_quarter_point_probability(self):
+        from nvit_tpu.train.optim import sr_bf16_hash
+
+        # 1 + 2^-9 sits a quarter of the way up the [1.0, 1+2^-7] ulp: the
+        # round-up probability must be ~0.25, not just the midpoint case —
+        # catches dither-bit distributions that are symmetric but non-uniform
+        x = jnp.full((65536,), 1.0 + 2.0**-9, jnp.float32)
+        out = np.asarray(sr_bf16_hash(x, jnp.uint32(777)), dtype=np.float32)
+        frac_up = float((out > 1.0).mean())
+        assert abs(frac_up - 0.25) < 0.02, frac_up
+
+    def test_hash_sr_exact_and_nonfinite_passthrough(self):
+        from nvit_tpu.train.optim import sr_bf16_hash
+
+        x = jnp.asarray([0.0, 1.0, -2.5, 2.0**-20, jnp.inf, -jnp.inf, jnp.nan], jnp.float32)
+        out = np.asarray(sr_bf16_hash(x, jnp.uint32(9)), dtype=np.float32)
+        np.testing.assert_array_equal(out[:4], np.asarray(x[:4]))
+        assert np.isposinf(out[4]) and np.isneginf(out[5]) and np.isnan(out[6])
+
+    def test_hash_dither_varies_with_seed_and_index(self):
+        from nvit_tpu.train.optim import sr_bf16_hash
+
+        x = jnp.full((4096,), 1.0 + 2.0**-8, jnp.float32)
+        a = np.asarray(sr_bf16_hash(x, jnp.uint32(1)), dtype=np.float32)
+        b = np.asarray(sr_bf16_hash(x, jnp.uint32(2)), dtype=np.float32)
+        assert (a != b).any()  # seed changes the rounding pattern
+        assert (a != a[0]).any()  # and elements differ within one call
+
+    def test_hash_dither_global_index_matches_sharded_semantics(self):
+        from nvit_tpu.train.optim import sr_bf16_hash
+
+        # broadcasted_iota is GLOBAL under GSPMD: rounding a 2D leaf must
+        # equal rounding its rows separately offset by their global strides —
+        # i.e. the hash depends only on the flattened global index
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 128), jnp.float32)
+        whole = np.asarray(sr_bf16_hash(x, jnp.uint32(5)), dtype=np.float32)
+        flat = np.asarray(sr_bf16_hash(x.reshape(-1), jnp.uint32(5)), dtype=np.float32)
+        np.testing.assert_array_equal(whole.reshape(-1), flat)
+
+    def test_hash_moments_deterministic_and_track_fp32(self):
+        import dataclasses as dc
+
+        from nvit_tpu.train.optim import fused_adamw_renorm_update, init_fused_adamw
+
+        cfg, state, grads = TestFusedAdamWRenorm._setup(seed=7)
+        opt = dc.replace(cfg.optimizer, moments_dtype="bfloat16", sr_dither="hash")
+        outs = []
+        for _ in range(2):
+            p, f = state.params, init_fused_adamw(state.params, "bfloat16")
+            for _ in range(3):
+                p, f = fused_adamw_renorm_update(opt, p, grads, f, renorm=True)
+            outs.append((p, f))
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0]), jax.tree_util.tree_leaves(outs[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the trajectory stays near fp32 moments (SR noise only)
+        p32, f32 = state.params, init_fused_adamw(state.params, "float32")
+        for _ in range(3):
+            p32, f32 = fused_adamw_renorm_update(cfg.optimizer, p32, grads, f32, renorm=True)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]), jax.tree_util.tree_leaves(p32)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    def test_sr_dither_enum_and_env_override(self):
+        from nvit_tpu.configs import loader
+        from nvit_tpu.configs.schema import OptimizerConfig
+
+        assert loader.load_config(env={}).optimizer.sr_dither == "threefry"
+        cfg = loader.load_config(env={"NVIT_OPTIMIZER__SR_DITHER": "hash"})
+        assert cfg.optimizer.sr_dither == "hash"
+        with pytest.raises(ValueError, match="sr_dither"):
+            loader.load_config(env={"NVIT_OPTIMIZER__SR_DITHER": "xorshift"})
+        with pytest.raises(ValueError, match="sr_dither"):
+            OptimizerConfig(sr_dither="lcg").validate()
