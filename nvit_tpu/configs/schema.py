@@ -186,11 +186,14 @@ class OptimizerConfig:
     # round-5 pre-registered traffic experiment, BASELINE.md.  Default
     # float32 ≙ reference torch.optim.AdamW state.
     moments_dtype: str = "float32"
-    # SR dither bit source when moments_dtype=bfloat16: "threefry"
-    # (jax.random.bits) or "hash" (fmix32 counter hash — ~8× fewer VPU ops,
-    # same determinism/unbiasedness guarantees; pre-registered experiment #2,
-    # BASELINE.md round 5).  Ignored for float32 moments.
-    sr_dither: str = "threefry"
+    # SR dither bit source when moments_dtype=bfloat16: "hash" (fmix32
+    # counter hash — ~8× fewer VPU ops than threefry, same determinism/
+    # unbiasedness guarantees) or "threefry" (jax.random.bits).  Default
+    # flipped to "hash" by pre-registered experiment #2's keep bar
+    # (BASELINE.md round 5: 2.0 ms/step faster than threefry — makes bf16
+    # moments step-time-neutral vs fp32 — probe Δ 0.209 < 0.3).
+    # Ignored for float32 moments.
+    sr_dither: str = "hash"
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 
     def validate(self) -> None:

@@ -476,9 +476,11 @@ class TestHashDither:
         from nvit_tpu.configs import loader
         from nvit_tpu.configs.schema import OptimizerConfig
 
-        assert loader.load_config(env={}).optimizer.sr_dither == "threefry"
-        cfg = loader.load_config(env={"NVIT_OPTIMIZER__SR_DITHER": "hash"})
-        assert cfg.optimizer.sr_dither == "hash"
+        # default flipped to "hash" by pre-registered experiment #2's keep
+        # bar (BASELINE.md round 5)
+        assert loader.load_config(env={}).optimizer.sr_dither == "hash"
+        cfg = loader.load_config(env={"NVIT_OPTIMIZER__SR_DITHER": "threefry"})
+        assert cfg.optimizer.sr_dither == "threefry"
         with pytest.raises(ValueError, match="sr_dither"):
             loader.load_config(env={"NVIT_OPTIMIZER__SR_DITHER": "xorshift"})
         with pytest.raises(ValueError, match="sr_dither"):
