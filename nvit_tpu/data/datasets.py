@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import shutil
 import tarfile
 import time
 import urllib.request
@@ -50,14 +51,34 @@ def _cifar_unpickle(path: Path) -> dict:
         return pickle.load(f, encoding="bytes")
 
 
-def _maybe_extract(root: Path, archive_name: str, member_dir: str) -> None:
+def _maybe_extract(root: Path, archive_name: str, member_dir: str, variant: str) -> None:
+    """Extract the archive ATOMICALLY: unpack to a temp sibling, then rename.
+
+    tarfile.extractall writes in place over several seconds; on a shared
+    filesystem a non-master host polling ``cifar_ready`` could otherwise see
+    a half-written batch file and unpickle garbage.  The rename also makes a
+    crash mid-extract self-healing: completeness (not bare dir existence)
+    gates the no-op, an incomplete in-place dir is moved aside and replaced,
+    and stale temp dirs from a crashed process are swept on the next call.
+    """
     archive = root / archive_name
-    if archive.exists() and not (root / member_dir).exists():
-        with tarfile.open(archive, "r:gz") as tf:
-            try:
-                tf.extractall(root, filter="data")  # refuse links/devices/abs paths
-            except TypeError:  # pragma: no cover — pre-3.12 tarfile
-                tf.extractall(root)
+    target = root / member_dir
+    for stale in root.glob(member_dir + ".extract-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    if not archive.exists() or cifar_ready(root, variant):
+        return
+    tmp = root / f"{member_dir}.extract-{os.getpid()}"
+    with tarfile.open(archive, "r:gz") as tf:
+        try:
+            tf.extractall(tmp, filter="data")  # refuse links/devices/abs paths
+        except TypeError:  # pragma: no cover — pre-3.12 tarfile
+            tf.extractall(tmp)
+    if target.exists():  # incomplete dir from an interrupted legacy extract
+        broken = root / f"{member_dir}.extract-{os.getpid()}-old"
+        target.rename(broken)
+        shutil.rmtree(broken, ignore_errors=True)
+    (tmp / member_dir).rename(target)  # atomic: readers see all-or-nothing
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 # Canonical CIFAR sources (≙ torchvision's pinned URLs, reference
@@ -132,14 +153,38 @@ def download_cifar(
                 f"archive legitimately changed.)"
             )
         part.rename(archive)  # atomic: readers never see a torn archive
-    _maybe_extract(root, archive_name, member_dir)
+    else:
+        # verify a pre-existing archive too (≙ torchvision check_integrity on
+        # the cached file): a truncated earlier fetch or corrupt pre-staged
+        # tarball must not be silently extracted
+        h = hashlib.sha256()
+        with open(archive, "rb") as f:
+            while chunk := f.read(1 << 20):
+                h.update(chunk)
+        if h.hexdigest() != sha256:
+            raise RuntimeError(
+                f"existing archive {archive} failed checksum verification: "
+                f"got sha256 {h.hexdigest()}, expected {sha256}. Delete it to "
+                f"re-download, or override NVIT_{variant.upper()}_SHA256 if the "
+                f"upstream archive legitimately changed."
+            )
+    _maybe_extract(root, archive_name, member_dir, variant)
     return root / member_dir
 
 
-def wait_for_cifar(data_dir: str | Path, variant: str, *, timeout: float = 900.0) -> None:
+def wait_for_cifar(data_dir: str | Path, variant: str, *, timeout: float | None = None) -> None:
     """Non-master hosts wait for the master's download+extract to complete
     (shared-filesystem assumption, ≙ the reference's post-download barrier,
-    train.py:299-301)."""
+    train.py:299-301).
+
+    Default deadline is 3600 s — a slow-but-healthy 162 MB fetch can
+    legitimately exceed the old 900 s — and env-tunable
+    (``NVIT_CIFAR_WAIT_S``) since the trainer call site passes no argument.
+    Extraction is atomic (``_maybe_extract``), so readiness here implies the
+    batch files are complete, not mid-write.
+    """
+    if timeout is None:
+        timeout = float(os.environ.get("NVIT_CIFAR_WAIT_S", "") or 3600.0)
     deadline = time.monotonic() + timeout
     while not cifar_ready(data_dir, variant):
         if time.monotonic() > deadline:
@@ -166,7 +211,7 @@ def load_cifar(
     if download and not cifar_ready(root, variant):
         download_cifar(root, variant, url=url, sha256=sha256)
     _, archive_name, member_dir, _ = _CIFAR_SOURCES[variant]
-    _maybe_extract(root, archive_name, member_dir)
+    _maybe_extract(root, archive_name, member_dir, variant)
     base = root / member_dir
     if variant == "cifar10":
         files = [base / f"data_batch_{i}" for i in range(1, 6)] if train else [base / "test_batch"]

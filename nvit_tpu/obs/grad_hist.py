@@ -11,7 +11,7 @@ per tensor, ~40 KB total), fetched only when an eval actually logs.
 
 Binning: bin 0 counts |g| < 2^MIN_EXP (including exact zeros — a vanishing
 gradient signal); bins 1..62 are one log2 octave each, [2^(MIN_EXP+k-1),
-2^(MIN_EXP+k)); bin 63 counts |g| ≥ 2^(MIN_EXP+62) (explosion signal).
+2^(MIN_EXP+k)); bin 63 counts |g| ≥ 2^(MIN_EXP+62) plus NaN/±inf (explosion signal).
 Static edges make histograms comparable across steps and runs without a
 host round-trip for the range.
 """
@@ -49,8 +49,14 @@ def grad_histogram(g: jax.Array, max_elems: int = MAX_ELEMS) -> jax.Array:
     mag = jnp.abs(flat.astype(jnp.float32))
     tiny = 2.0 ** MIN_EXP
     exp = jnp.floor(jnp.log2(jnp.maximum(mag, tiny)))
-    idx = jnp.clip(exp - (MIN_EXP - 1), 0, BINS - 1).astype(jnp.int32)
-    idx = jnp.where(mag < tiny, 0, idx)
+    idxf = jnp.clip(exp - (MIN_EXP - 1), 0, BINS - 1)
+    idxf = jnp.where(mag < tiny, 0.0, idxf)
+    # NaN must land in the explosion bin, not vanish: log2(NaN)=NaN survives
+    # clip, and int-cast of NaN is undefined (scatter then silently DROPS the
+    # out-of-bounds index) — the exact signal this histogram exists to show.
+    # (+inf already reaches BINS-1 through the clip.)
+    idxf = jnp.where(jnp.isnan(mag), float(BINS - 1), idxf)
+    idx = idxf.astype(jnp.int32)
     return jnp.zeros((BINS,), jnp.int32).at[idx].add(1)
 
 

@@ -32,6 +32,24 @@ from nvit_tpu.models.blocks import (
 )
 
 
+def _WANDB_HIST_EDGES() -> np.ndarray:
+    """Static finite bin edges for wandb gradhist rendering (cached).
+
+    The gradhist edges (obs/grad_hist.py) are constant by design; wandb
+    needs finite ends, so the open first/last edges are clamped.  Computed
+    once — the per-key per-log recompute was pure waste for a ~150-leaf
+    model.
+    """
+    cached = getattr(_WANDB_HIST_EDGES, "_cache", None)
+    if cached is None:
+        from nvit_tpu.obs.grad_hist import histogram_edges
+
+        e = histogram_edges()
+        cached = np.concatenate([[0.0], e[1:-1], [e[-2] * 2]])
+        _WANDB_HIST_EDGES._cache = cached
+    return cached
+
+
 def setup_logging(out_dir: str | Path, *, level: str = "INFO", to_file: bool = True) -> logging.Logger:
     """Console + logfile logging (≙ train.py:138-151)."""
     handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
@@ -96,13 +114,8 @@ class MetricsWriter:
                 # real wandb histograms (≙ wandb.watch, train.py:531-546)
                 if k.startswith("gradhist/"):
                     try:
-                        from nvit_tpu.obs.grad_hist import histogram_edges
-
-                        edges = histogram_edges()
-                        # wandb needs finite edges; clamp the open ends
-                        edges = np.concatenate([[0.0], edges[1:-1], [edges[-2] * 2]])
                         out[k] = self.wandb.Histogram(
-                            np_histogram=(np.asarray(v, dtype=np.int64), edges)
+                            np_histogram=(np.asarray(v, dtype=np.int64), _WANDB_HIST_EDGES())
                         )
                     except Exception:
                         pass  # leave the raw list; never break the sink

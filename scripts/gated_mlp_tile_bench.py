@@ -16,6 +16,7 @@ Run on the real TPU (single process!):
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -97,8 +98,14 @@ def main() -> None:
     ]
     best = (t_xla, "xla")
     for fr, fc, br, bc in configs:
-        gm._FWD_ROW, gm._FWD_COL = fr, fc
-        gm._BWD_ROW, gm._BWD_COL = br, bc
+        # The tile caps are served through nvit_tpu.ops.tuning's PEP 562
+        # __getattr__, which re-reads NVIT_TUNE_* on every access — so a
+        # sweep sets the env vars, not module attributes (which are now
+        # zero-arg functions and would shadow the env path).
+        os.environ["NVIT_TUNE_GATED_MLP_FWD_ROW"] = str(fr)
+        os.environ["NVIT_TUNE_GATED_MLP_FWD_COL"] = str(fc)
+        os.environ["NVIT_TUNE_GATED_MLP_BWD_ROW"] = str(br)
+        os.environ["NVIT_TUNE_GATED_MLP_BWD_COL"] = str(bc)
         rows = (gm._pick(N, fr, 16), gm._pick(N, br, 16))
         tag = f"kernel f{fr}x{fc} b{br}x{bc} (rows {rows[0]}/{rows[1]})"
         try:

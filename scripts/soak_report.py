@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import re
+import statistics
 import sys
 from pathlib import Path
 
@@ -42,11 +43,22 @@ def quartile_mean(xs: list[float], first: bool) -> float | None:
 
 
 def _median(xs: list[float]) -> float | None:
-    if not xs:
-        return None
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return statistics.median(xs) if xs else None
+
+
+def _dedupe_by_step(rows: list[dict]) -> list[dict]:
+    """Collapse replayed iterations to ONE row per ``_step`` (keep the last).
+
+    A launch killed after logging but before its first checkpoint leaves
+    rows whose iterations the NEXT launch replays and re-logs (exact resume
+    restarts from the checkpoint high-water mark).  Keeping the LAST copy —
+    the launch that actually committed those iterations — stops segment
+    step-time/RSS stats from double-counting the duplicates (which skewed
+    the recompile/RSS anomaly heuristics; review finding, round 5)."""
+    by_step: dict[int, dict] = {}
+    for r in rows:
+        by_step[r["_step"]] = r
+    return [by_step[k] for k in sorted(by_step)]
 
 
 def parse_launch_records(log: str) -> list[dict]:
@@ -70,8 +82,14 @@ def parse_launch_records(log: str) -> list[dict]:
             }
             records.append(open_rec)
             continue
-        m = re.match(r"=== SIGTERM launch", line)
-        if m and open_rec is not None:
+        m = re.match(r"=== SIGTERM launch (\d+)", line)
+        if m and open_rec is not None and open_rec["label"] == int(m.group(1)):
+            # match the marker's launch number against the OPEN record: the
+            # kill subshell is `sleep N; echo marker; kill`, so if its target
+            # crashed early the echo lands while a LATER launch is open —
+            # attributing the SIGTERM to that innocent launch would also give
+            # the real crash a benign zero-progress reason (review finding,
+            # round 5)
             open_rec["sigterm"] = True
             continue
         m = re.match(r"=== soak launch (\d+) exit rc=(\d+) iter=(\S+)", line)
@@ -93,8 +111,8 @@ def build_report(out_dir: str | Path) -> dict:
         except json.JSONDecodeError:
             bad += 1
 
-    train_rows = [r for r in rows if "train/batch_time_ms" in r]
-    eval_rows = [r for r in rows if "val/loss" in r]
+    train_rows = _dedupe_by_step([r for r in rows if "train/batch_time_ms" in r])
+    eval_rows = _dedupe_by_step([r for r in rows if "val/loss" in r])
 
     log = (out / "soak.log").read_text() if (out / "soak.log").exists() else ""
     records = parse_launch_records(log)

@@ -114,6 +114,42 @@ def test_wait_for_cifar_times_out_then_succeeds(archive_server, tmp_path):
     wait_for_cifar(tmp_path, "cifar10", timeout=1.0)  # returns immediately
 
 
+def test_incomplete_extract_is_repaired(archive_server, tmp_path):
+    """A crash mid-extract used to leave member_dir present → _maybe_extract
+    no-oped forever and every relaunch died on FileNotFoundError (review
+    finding, round 5).  Completeness now gates the no-op and the incomplete
+    dir is replaced atomically from the verified archive."""
+    url, sha = archive_server
+    download_cifar(tmp_path, "cifar10", url=url, sha256=sha)
+    # simulate the interrupted extract: one batch file missing
+    (tmp_path / "cifar-10-batches-py" / "data_batch_5").unlink()
+    assert not cifar_ready(tmp_path, "cifar10")
+    # a stale temp dir from the crashed process must be swept too
+    stale = tmp_path / "cifar-10-batches-py.extract-99999"
+    stale.mkdir()
+    download_cifar(tmp_path, "cifar10", url="http://127.0.0.1:1/unreachable", sha256=sha)
+    assert cifar_ready(tmp_path, "cifar10")
+    assert not stale.exists()
+    assert len(load_cifar(tmp_path, variant="cifar10", train=True)) == 20
+
+
+def test_preexisting_corrupt_archive_refused(tmp_path):
+    """A truncated earlier fetch or corrupt pre-staged tarball must not be
+    silently extracted: existing archives are checksum-verified too
+    (≙ torchvision check_integrity on the cached file)."""
+    (tmp_path / "cifar-10-python.tar.gz").write_bytes(b"corrupt garbage")
+    with pytest.raises(RuntimeError, match="existing archive"):
+        download_cifar(tmp_path, "cifar10", url="http://127.0.0.1:1/unused", sha256="a" * 64)
+    # the user's file is left in place for inspection, with a clear remedy
+    assert (tmp_path / "cifar-10-python.tar.gz").exists()
+
+
+def test_wait_timeout_env_override(tmp_path, monkeypatch):
+    monkeypatch.setenv("NVIT_CIFAR_WAIT_S", "0.05")
+    with pytest.raises(TimeoutError, match="0.05"):
+        wait_for_cifar(tmp_path, "cifar10")
+
+
 def test_env_override_pin(archive_server, tmp_path, monkeypatch):
     url, sha = archive_server
     monkeypatch.setenv("NVIT_CIFAR10_SHA256", sha)

@@ -37,6 +37,16 @@ class TestBinning:
         assert h[BINS - 1] == 1  # overflow bin catches explosions
         assert h.sum() == 5
 
+    def test_nonfinite_grads_land_in_explosion_bin(self):
+        # NaN survived log2/clip as NaN and int-cast of NaN is undefined —
+        # JAX's scatter then DROPS the out-of-bounds index, hiding the one
+        # signal this tool exists for (review finding, round 5)
+        g = jnp.array([jnp.nan, -jnp.nan, jnp.inf, -jnp.inf, 1.0, 0.0])
+        h = np.asarray(grad_histogram(g))
+        assert h[BINS - 1] == 4, "NaN/±inf must count in the explosion bin"
+        assert h[0] == 1 and h[0 - MIN_EXP + 1] == 1
+        assert h.sum() == 6
+
     def test_downsampling_caps_count(self):
         g = jnp.ones((MAX_ELEMS * 3 + 17,))
         h = np.asarray(grad_histogram(g))

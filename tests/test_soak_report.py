@@ -159,6 +159,88 @@ def test_post_sentinel_noop_reason(tmp_path):
     assert not any(a["type"] == "unexplained_zero_progress" for a in report["anomalies"])
 
 
+def _write_minimal(tmp_path: Path, log_text: str, rows: list[dict]) -> Path:
+    out = tmp_path / "soak"
+    out.mkdir()
+    with (out / "metrics.jsonl").open("w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    (out / "soak.log").write_text(log_text)
+    return out
+
+
+def test_orphan_sigterm_echo_does_not_mark_later_launch(tmp_path):
+    """The kill subshell is `sleep N; echo marker; kill` — if its target
+    crashed before the sleep ended, the echo lands while a LATER launch is
+    open.  The marker's launch number must be matched against the open
+    record, or the innocent launch gets sigterm=True and the real crash is
+    excused as a benign preemption (review finding, round 5)."""
+    rows = [
+        {"train/batch_time_ms": 700.0, "system/ram_used_gb": 4.0, "_step": s}
+        for s in (100, 200)
+    ]
+    rows += [
+        {"train/batch_time_ms": 700.0, "system/ram_used_gb": 4.0, "_step": s}
+        for s in (300, 400)
+    ]
+    log = (
+        "=== soak launch 1 start 10:00:00 ===\n"
+        "=== soak launch 1 exit rc=0 iter=200 10:20:00 ===\n"
+        "=== soak launch 2 start 10:20:02 ===\n"
+        "=== soak launch 2 exit rc=1 iter=200 10:20:30 ===\n"  # crashed early
+        "=== soak launch 3 start 10:20:32 ===\n"
+        "=== SIGTERM launch 2 (10:27:00)\n"  # orphan echo for the dead launch
+        "=== soak launch 3 exit rc=0 iter=400 10:40:00 ===\n"
+    )
+    out = _write_minimal(tmp_path, log, rows)
+    recs = parse_launch_records(log)
+    assert [r["sigterm"] for r in recs] == [False, False, False]
+    report = build_report(out)
+    # the crash is NOT excused: it surfaces as unexplained zero progress
+    bad = [a for a in report["anomalies"] if a["type"] == "unexplained_zero_progress"]
+    assert len(bad) == 1 and bad[0]["launches"] == [2]
+
+
+def test_replayed_rows_deduped_not_double_counted(tmp_path):
+    """A launch killed after logging but before its first checkpoint leaves
+    rows the next launch replays and re-logs.  Segment stats must count each
+    iteration ONCE (the committing launch's copy), not skew the quartile/RSS
+    stats with duplicates (review finding, round 5)."""
+    rows = [
+        {"train/batch_time_ms": 700.0, "system/ram_used_gb": 4.0, "_step": s}
+        for s in (100, 200)
+    ]
+    # launch 2 steps to 300 (logged) but is SIGTERM'd pre-checkpoint
+    rows += [
+        {"train/batch_time_ms": 9000.0, "system/ram_used_gb": 20.0, "_step": s}
+        for s in (250, 300)
+    ]
+    # launch 3 replays 250/300 (fresh copies) and continues to 400
+    rows += [
+        {"train/batch_time_ms": 710.0, "system/ram_used_gb": 4.5, "_step": s}
+        for s in (250, 300, 350, 400)
+    ]
+    log = (
+        "=== soak launch 1 start 10:00:00 ===\n"
+        "=== soak launch 1 exit rc=0 iter=200 10:20:00 ===\n"
+        "=== soak launch 2 start 10:20:02 ===\n"
+        "=== SIGTERM launch 2 (10:26:42)\n"
+        "=== soak launch 2 exit rc=0 iter=200 10:27:00 ===\n"
+        "=== soak launch 3 start 10:27:02 ===\n"
+        "=== soak launch 3 exit rc=0 iter=400 10:47:00 ===\n"
+    )
+    out = _write_minimal(tmp_path, log, rows)
+    report = build_report(out)
+    final = report["segments"][-1]
+    assert final["launches"] == [3]
+    assert final["logs"] == 4 and final["steps"] == [250, 400]
+    # the kept copies are the committing launch's (710 ms), so the killed
+    # launch's 9000 ms pre-kill rows no longer fake a recompile anomaly
+    assert final["step_ms_first_q"] == pytest.approx(710.0)
+    assert final["rss_gb_max"] == pytest.approx(4.5)
+    assert not any(a["type"] == "recompile" for a in report["anomalies"])
+
+
 def test_round4_real_summary_is_clean():
     """The rescued round-4 artifacts regenerate without the three defects."""
     ev = Path(__file__).resolve().parent.parent / "evidence" / "r4_soak"
