@@ -115,7 +115,8 @@ test-fast:
         tests/test_train_step.py tests/test_config.py \
         tests/test_flash_attention.py tests/test_gated_mlp.py \
         tests/test_reference_parity.py \
-        tests/test_cifar_download.py tests/test_soak_report.py
+        tests/test_cifar_download.py tests/test_soak_report.py \
+        tests/test_grad_histograms.py
 
 # Full CI gate: hermetic CPU suite + the single-chip jit compile check +
 # the 8-device virtual-mesh dryrun of the multi-chip train step.
