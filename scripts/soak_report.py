@@ -162,6 +162,22 @@ def build_report(out_dir: str | Path) -> dict:
             "rss_gb_last": round(rss[-1], 3) if rss else None,
             "rss_gb_max": round(max(rss), 3) if rss else None,
         }
+        if not seg_rows:
+            # the launch advanced the checkpoint (exit_iter > prev) but no
+            # train-log row landed in the window — e.g. SIGTERM between a
+            # checkpoint write and the next 100-iter log line.  Without a
+            # reason this reads as unexplained zero progress even when the
+            # kill is fully attributed (seen in the r5 in-flight report).
+            if rec["sigterm"]:
+                entry["reason"] = (
+                    f"SIGTERM after advancing the checkpoint to iter {rec['exit_iter']} "
+                    "but before the next train-log row (preemption target)"
+                )
+            else:
+                entry["reason"] = (
+                    f"advanced checkpoint to iter {rec['exit_iter']} with no train-log "
+                    "rows in the window (exited between checkpoint and next log)"
+                )
         if pending:
             entry["note"] = (
                 f"launch(es) {[p['seq'] for p in pending]} exited without a marker "
@@ -243,7 +259,13 @@ def build_report(out_dir: str | Path) -> dict:
                     "median_step_ms": round(med_step, 1),
                 }
             )
-        if s["logs"] == 0 and "SIGTERM" not in s.get("reason", "") and "post-sentinel" not in s.get("reason", ""):
+        reason = s.get("reason") or ""
+        explained = (
+            "SIGTERM" in reason
+            or "post-sentinel" in reason
+            or "advanced checkpoint" in reason
+        )
+        if s["logs"] == 0 and not explained:
             anomalies.append(
                 {"type": "unexplained_zero_progress", "launches": s["launches"], "reason": s.get("reason")}
             )

@@ -201,6 +201,46 @@ def test_orphan_sigterm_echo_does_not_mark_later_launch(tmp_path):
     assert len(bad) == 1 and bad[0]["launches"] == [2]
 
 
+def test_checkpoint_advance_without_logs_is_attributed(tmp_path):
+    """A launch can advance the checkpoint (exit iter > previous high-water)
+    yet land zero train-log rows — e.g. SIGTERM between a checkpoint write
+    and the next 100-iter log line.  Seen in the r5 in-flight report as
+    `unexplained_zero_progress, reason: null` for the SIGTERM target.  The
+    segment must carry an explicit reason and NOT be flagged unexplained."""
+    rows = [
+        {"train/batch_time_ms": 700.0, "system/ram_used_gb": 4.0, "_step": s}
+        for s in (100, 200)
+    ] + [
+        {"train/batch_time_ms": 700.0, "system/ram_used_gb": 4.0, "_step": s}
+        for s in (300, 400)
+    ]
+    log = (
+        "=== soak launch 1 start 10:00:00 ===\n"
+        "=== soak launch 1 exit rc=0 iter=200 10:20:00 ===\n"
+        "=== soak launch 2 start 10:20:02 ===\n"
+        "=== SIGTERM launch 2 (10:26:00)\n"
+        # checkpointed at 250 but never reached the step-300 log line
+        "=== soak launch 2 exit rc=0 iter=250 10:26:05 ===\n"
+        "=== soak launch 3 start 10:26:07 ===\n"
+        "=== soak launch 3 exit rc=0 iter=400 10:40:00 ===\n"
+    )
+    out = _write_minimal(tmp_path, log, rows)
+    report = build_report(out)
+    seg2 = next(s for s in report["segments"] if s["launches"] == [2])
+    assert seg2["logs"] == 0
+    assert "SIGTERM" in seg2["reason"] and "250" in seg2["reason"]
+    assert not [a for a in report["anomalies"] if a["type"] == "unexplained_zero_progress"]
+    # non-SIGTERM variant: still explained (checkpoint DID advance), with
+    # the exit iter named in the reason
+    log_nosig = log.replace("=== SIGTERM launch 2 (10:26:00)\n", "")
+    (tmp_path / "b").mkdir()
+    out2 = _write_minimal(tmp_path / "b", log_nosig, rows)
+    report2 = build_report(out2)
+    seg2b = next(s for s in report2["segments"] if s["launches"] == [2])
+    assert "advanced checkpoint" in seg2b["reason"]
+    assert not [a for a in report2["anomalies"] if a["type"] == "unexplained_zero_progress"]
+
+
 def test_replayed_rows_deduped_not_double_counted(tmp_path):
     """A launch killed after logging but before its first checkpoint leaves
     rows the next launch replays and re-logs.  Segment stats must count each
